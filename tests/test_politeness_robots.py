@@ -1,0 +1,118 @@
+"""Politeness planner invariants (Download.throttle parity,
+download.py:455-473) and robots gating (download.py:978/1022 +
+urllib.robotparser rule semantics)."""
+
+from pyspark.sql import functions as F
+
+from webscraping_spark.operators import politeness as P
+from webscraping_spark.operators import robots as R
+
+
+def make_batch(spark, rows):
+    """rows: (url, domain, priority, seq)"""
+    df = spark.createDataFrame(rows, "url string, domain string, priority int, seq long")
+    return df.withColumn("url_hash", F.xxhash64("url")).withColumn("depth", F.lit(0))
+
+
+DELAY, VARIANCE = 5.0, 0.5
+
+
+class TestPolitenessPlan:
+    def test_min_spacing_per_domain(self, spark):
+        rows = [(f"http://a.com/{i}", "a.com", 0, i) for i in range(20)] + [
+            (f"http://b.com/{i}", "b.com", 0, 100 + i) for i in range(5)
+        ]
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        planned, _ = P.plan_schedule(make_batch(spark, rows), state, DELAY, VARIANCE, seed=42)
+        for domain in ("a.com", "b.com"):
+            offs = sorted(
+                r["scheduled_offset"]
+                for r in planned.filter(F.col("domain") == domain).collect()
+            )
+            gaps = [b - a for a, b in zip(offs, offs[1:])]
+            # reference contract: spacing in [delay*(1-v/2), delay*(1+v/2)]
+            assert all(DELAY * 0.75 - 1e-9 <= g <= DELAY * 1.25 + 1e-9 for g in gaps)
+        # first fetch per domain starts immediately
+        firsts = planned.groupBy("domain").agg(F.min("scheduled_offset").alias("m")).collect()
+        assert all(r["m"] == 0.0 for r in firsts)
+
+    def test_carry_in_across_batches(self, spark):
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        b1 = make_batch(spark, [("http://a.com/1", "a.com", 0, 1)])
+        planned1, state = P.plan_schedule(b1, state, DELAY, VARIANCE)
+        b2 = make_batch(spark, [("http://a.com/2", "a.com", 0, 2)])
+        planned2, state = P.plan_schedule(b2, state, DELAY, VARIANCE)
+        off1 = planned1.first()["scheduled_offset"]
+        off2 = planned2.first()["scheduled_offset"]
+        assert off1 == 0.0
+        assert DELAY * 0.75 <= off2 - off1 <= DELAY * 1.25
+
+    def test_deterministic_given_seed(self, spark):
+        rows = [(f"http://a.com/{i}", "a.com", 0, i) for i in range(10)]
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        p1, _ = P.plan_schedule(make_batch(spark, rows), state, DELAY, VARIANCE, seed=42)
+        p2, _ = P.plan_schedule(make_batch(spark, rows), state, DELAY, VARIANCE, seed=42)
+        assert sorted(map(tuple, p1.select("url", "scheduled_offset").collect())) == sorted(
+            map(tuple, p2.select("url", "scheduled_offset").collect())
+        )
+
+    def test_salting_splits_hot_domain(self, spark):
+        rows = [(f"http://hot.com/{i}", "hot.com", 0, i) for i in range(200)]
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        planned, _ = P.plan_schedule(make_batch(spark, rows), state, DELAY, VARIANCE)
+        salted = P.salted_repartition(planned, hot_threshold=50, salt_rows_per_bucket=25)
+        n_salts = salted.select("salt").distinct().count()
+        assert n_salts >= 4  # 200 rows / 25 per bucket
+
+
+class TestRobotsGate:
+    def make_candidates(self, spark, urls):
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return df.withColumn(
+            "domain", F.regexp_extract("url", r"://([^/]+)", 1)
+        ).withColumn("url_hash", F.xxhash64("url"))
+
+    def make_rules(self, spark, rows):
+        return spark.createDataFrame(rows, R.ROBOTS_SCHEMA)
+
+    def test_disallow_subtree(self, spark):
+        rules = self.make_rules(
+            spark,
+            [
+                ("a.com", "*", "disallow", "/private", 0),
+                ("a.com", "*", "allow", "", 1),
+            ],
+        )
+        cands = self.make_candidates(
+            spark,
+            ["http://a.com/public/x", "http://a.com/private/y", "http://b.com/z"],
+        )
+        allowed = {r["url"] for r in R.robots_gate(cands, rules, "testbot").collect()}
+        # b.com has no rules -> allowed; /private blocked
+        assert allowed == {"http://a.com/public/x", "http://b.com/z"}
+
+    def test_agent_specific_beats_wildcard(self, spark):
+        rules = self.make_rules(
+            spark,
+            [
+                ("a.com", "*", "disallow", "/", 0),
+                ("a.com", "testbot", "allow", "/", 0),
+            ],
+        )
+        cands = self.make_candidates(spark, ["http://a.com/x"])
+        assert R.robots_gate(cands, rules, "testbot").count() == 1
+        assert R.robots_gate(cands, rules, "otherbot").count() == 0
+
+    def test_first_match_wins(self, spark):
+        rules = self.make_rules(
+            spark,
+            [
+                ("a.com", "*", "allow", "/dir/open", 0),
+                ("a.com", "*", "disallow", "/dir", 1),
+            ],
+        )
+        cands = self.make_candidates(
+            spark, ["http://a.com/dir/open/f", "http://a.com/dir/closed/f"]
+        )
+        allowed = {r["url"] for r in R.robots_gate(cands, rules, "bot").collect()}
+        assert allowed == {"http://a.com/dir/open/f"}

@@ -1,0 +1,123 @@
+"""Seen-set semantics: exact anti-join oracle vs partitioned Bloom vs
+cuckoo (including deletes). Parity target: adt.HashDict membership
+(adt.py:30-74), Queue.clear deletes (pdict.py:481-497)."""
+
+import numpy as np
+import pytest
+
+from webscraping_spark.operators import seen as S
+
+
+class TestNumpyKernels:
+    def test_bloom_no_false_negatives(self):
+        rng = np.random.default_rng(42)
+        inserted = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+        m, k = S.bloom_params(5000, 1e-4)
+        filt = S.bloom_build(inserted, m, k)
+        assert S.bloom_contains(filt, inserted, k).all()
+
+    def test_bloom_fp_rate_within_bound(self):
+        rng = np.random.default_rng(7)
+        inserted = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+        probes = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+        m, k = S.bloom_params(5000, 1e-4)
+        filt = S.bloom_build(inserted, m, k)
+        fp = S.bloom_contains(filt, probes, k).mean()
+        assert fp < 1e-2  # sized for 1e-4; generous margin
+
+    def test_bloom_incremental_merge(self):
+        m, k = S.bloom_params(100, 1e-3)
+        a = np.arange(50, dtype=np.int64)
+        b = np.arange(50, 100, dtype=np.int64)
+        merged = S.bloom_build(b, m, k, base=S.bloom_build(a, m, k))
+        assert S.bloom_contains(merged, np.arange(100, dtype=np.int64), k).all()
+
+    def test_cuckoo_insert_contains_delete(self):
+        rng = np.random.default_rng(3)
+        keys = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+        table = S.cuckoo_insert(S.cuckoo_new(4000), keys)
+        assert S.cuckoo_contains(table, keys).all()
+        removed, kept = keys[:500], keys[500:]
+        table = S.cuckoo_delete(table, removed)
+        assert S.cuckoo_contains(table, kept).all()  # no false negatives on kept
+        assert S.cuckoo_contains(table, removed).mean() < 0.05  # mostly gone
+
+
+@pytest.fixture()
+def hashes_df(spark):
+    return spark.createDataFrame(
+        [(int(h),) for h in range(1000)], "url_hash long"
+    ).withColumn("depth", (F_col_mod()))
+
+
+def F_col_mod():
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.col("url_hash"), F.lit(3)).cast("int")
+
+
+class TestSparkSeenSets:
+    def test_exact_anti_join(self, spark):
+        from pyspark.sql import functions as F
+
+        exact = S.ExactSeenSet.empty(spark)
+        seen_rows = spark.range(0, 500).select(
+            F.col("id").alias("url_hash"), F.lit(0).alias("depth")
+        )
+        exact = exact.add(seen_rows)
+        cands = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
+        unseen = exact.filter_unseen(cands)
+        assert unseen.count() == 500
+        assert unseen.agg(F.min("url_hash")).first()[0] == 500
+
+    def test_exact_min_depth_wins(self, spark):
+        from pyspark.sql import functions as F
+
+        exact = S.ExactSeenSet.empty(spark)
+        exact = exact.add(spark.createDataFrame([(1, 5)], "url_hash long, depth int"))
+        exact = exact.add(spark.createDataFrame([(1, 2)], "url_hash long, depth int"))
+        assert exact.df.filter(F.col("url_hash") == 1).first()["depth"] == 2
+
+    def test_bloom_set_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        bloom = S.BloomSeenSet.empty(spark, num_partitions=8, expected_items_per_partition=1000)
+        seen_rows = spark.range(0, 500).select(F.col("id").alias("url_hash"))
+        bloom = bloom.add(seen_rows)
+        cands = spark.range(0, 1000).select(F.col("id").alias("url_hash"))
+        flagged = bloom.might_contain(cands).collect()
+        by_hash = {r["url_hash"]: r["might_be_seen"] for r in flagged}
+        assert all(by_hash[h] for h in range(500))  # no false negatives
+        fp = sum(by_hash[h] for h in range(500, 1000)) / 500
+        assert fp < 0.05
+
+    def test_bloom_prefilter_equals_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        exact = S.ExactSeenSet.empty(spark).add(
+            spark.range(0, 300).select(F.col("id").alias("url_hash"), F.lit(0).alias("depth"))
+        )
+        bloom = S.BloomSeenSet.empty(spark, num_partitions=4, expected_items_per_partition=1000).add(
+            spark.range(0, 300).select(F.col("id").alias("url_hash"))
+        )
+        cands = spark.range(0, 600).select(F.col("id").alias("url_hash"))
+        via_prefilter = sorted(
+            r["url_hash"] for r in bloom.filter_unseen_prefilter(cands, exact).collect()
+        )
+        via_exact = sorted(r["url_hash"] for r in exact.filter_unseen(cands).collect())
+        assert via_prefilter == via_exact
+
+    def test_cuckoo_set_delete_path(self, spark):
+        from pyspark.sql import functions as F
+
+        ck = S.CuckooSeenSet.empty(spark, num_partitions=4, capacity_per_partition=2000)
+        ck = ck.add(spark.range(0, 400).select(F.col("id").alias("url_hash")))
+        ck = ck.delete(spark.range(0, 100).select(F.col("id").alias("url_hash")))
+        flagged = {
+            r["url_hash"]: r["might_be_seen"]
+            for r in ck.might_contain(
+                spark.range(0, 400).select(F.col("id").alias("url_hash"))
+            ).collect()
+        }
+        assert all(flagged[h] for h in range(100, 400))  # kept keys present
+        assert sum(flagged[h] for h in range(100)) < 10  # deleted keys gone

@@ -1,0 +1,160 @@
+"""Frontier queue operators: push (dedup on key), pull (ordered top-k
+claim), clear — DataFrame re-expressions of ``pdict.Queue``
+(pdict.py:402-497) and the in-memory deque of ``threaded_get``
+(download.py:843, 811).
+
+Ordering contract (SURVEY.md §3.2): the engine's canonical visit order is
+the reference's deterministic single-threaded order —
+  BFS  (depth=False): FIFO  -> orderBy(depth asc,  seq asc)
+  DFS  (depth=True, the reference default): LIFO -> orderBy(depth desc, seq desc)
+  BEST (DataCrawler): orderBy(priority desc, seq asc) where priority =
+       -link_score (download.py:1062-1078)
+  PRIORITY (Queue.pull): orderBy(priority desc) — pdict.py:472
+``seq`` is the monotonic discovery index assigned at push time; Spark
+shuffles destroy incidental order, so order is always carried in data.
+
+Status column semantics mirror pdict.py:468-478: 0 = queued; >0 = the pull
+counter that claimed the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscraping_spark.operators.ordering import assign_global_seq
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash long, domain string, depth int, priority int, "
+    "seq long, status int, retry_count int"
+)
+
+ORDER_BFS = "bfs"
+ORDER_DFS = "dfs"
+ORDER_BEST = "best"
+ORDER_PRIORITY = "priority"
+
+
+def _pull_order(mode: str):
+    if mode == ORDER_BFS:
+        return [F.col("depth").asc(), F.col("seq").asc()]
+    if mode == ORDER_DFS:
+        return [F.col("depth").desc(), F.col("seq").desc()]
+    if mode == ORDER_BEST:
+        return [F.col("priority").desc(), F.col("seq").asc()]
+    if mode == ORDER_PRIORITY:
+        # Queue.pull: ORDER BY priority DESC (pdict.py:472); seq tiebreak for
+        # determinism (sqlite's implicit rowid order)
+        return [F.col("priority").desc(), F.col("seq").asc()]
+    raise ValueError(f"unknown pull mode: {mode}")
+
+
+class Frontier:
+    """The URL work queue as an immutable-DataFrame state machine.
+
+    Each mutation returns a new Frontier over a new DataFrame; the crawl
+    loop checkpoints the DataFrame per superstep (plans/crawl.py), which is
+    what makes the whole job resumable.
+    """
+
+    def __init__(self, df: DataFrame, next_seq: int = 0, pull_counter: int = 0):
+        self.df = df
+        self.next_seq = next_seq
+        self.pull_counter = pull_counter
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "Frontier":
+        return cls(spark.createDataFrame([], FRONTIER_SCHEMA))
+
+    def push(self, candidates: DataFrame) -> "Frontier":
+        """Enqueue candidate URLs, ignoring keys already present.
+
+        Parity: Queue.push INSERT OR IGNORE (pdict.py:463) + the unseen
+        check of threaded_get's extend. ``candidates`` needs columns
+        (url, url_hash, domain, depth, priority); seq/status/retry are
+        assigned here.
+
+        Dedup-within-batch keeps the FIRST occurrence in (depth, priority
+        desc, discovery) order via min-seq — matching the sequential
+        crawler, which marks a URL found the first time it appears.
+        """
+        # dedup within batch first (first occurrence in discovery order
+        # wins), then anti-join vs existing keys, then stamp seq — so seq
+        # stays contiguous over rows actually enqueued.
+        ordered = candidates.withColumn("_ord", F.struct(*_discovery_order(candidates)))
+        payload = [c for c in candidates.columns if c != "url_hash"]
+        first_per_key = (
+            ordered.groupBy("url_hash")
+            .agg(
+                F.min_by(F.struct(*payload), F.col("_ord")).alias("r"),
+                F.min("_ord").alias("_ord"),
+            )
+            .select("url_hash", "_ord", "r.*")
+        )
+        fresh = first_per_key.join(self.df.select("url_hash"), "url_hash", "left_anti")
+        stamped, n_new = assign_global_seq(fresh, [F.col("_ord").asc()], start=self.next_seq)
+        new_rows = (
+            stamped.drop("_ord")
+            .withColumn("status", F.lit(0))
+            .withColumn("retry_count", F.lit(0))
+            .select(*FRONTIER_COLUMNS)
+        )
+        return Frontier(
+            self.df.unionByName(new_rows), self.next_seq + n_new, self.pull_counter
+        )
+
+    def pull(self, limit: int = 1000, mode: str = ORDER_PRIORITY) -> tuple[DataFrame, "Frontier"]:
+        """Claim the top-``limit`` queued keys (Queue.pull, pdict.py:468-478).
+
+        Returns (claimed batch, new frontier with those rows marked by a
+        fresh pull counter). orderBy().limit() compiles to
+        TakeOrderedAndProject — a top-k, not a global sort.
+        """
+        counter = self.pull_counter + 1
+        queued = self.df.filter(F.col("status") == 0)
+        batch = queued.orderBy(*_pull_order(mode)).limit(limit)
+        claimed = batch.select("url_hash").withColumn("_claim", F.lit(counter))
+        updated = (
+            self.df.join(F.broadcast(claimed), "url_hash", "left")
+            .withColumn("status", F.coalesce(F.col("_claim"), F.col("status")))
+            .drop("_claim")
+        )
+        return batch.withColumn("status", F.lit(counter)), Frontier(
+            updated, self.next_seq, counter
+        )
+
+    def clear(self, keys: DataFrame | None = None) -> "Frontier":
+        """Remove keys (or everything) — Queue.clear (pdict.py:481-497)."""
+        if keys is None:
+            return Frontier(self.df.limit(0), self.next_seq, self.pull_counter)
+        return Frontier(
+            self.df.join(keys.select("url_hash"), "url_hash", "left_anti"),
+            self.next_seq,
+            self.pull_counter,
+        )
+
+    def queued_count(self) -> int:
+        """len(Queue): SELECT count(*) WHERE status=0 (pdict.py:446-450)."""
+        return self.df.filter(F.col("status") == 0).count()
+
+
+FRONTIER_COLUMNS = [
+    "url",
+    "url_hash",
+    "domain",
+    "depth",
+    "priority",
+    "seq",
+    "status",
+    "retry_count",
+]
+
+
+def _discovery_order(candidates: DataFrame):
+    """Plain columns whose lexicographic order defines within-batch
+    discovery sequence. Callers pass ``discovery_order`` (parent seq x link
+    position) when they have it; otherwise (depth, url) is a deterministic
+    fallback."""
+    if "discovery_order" in candidates.columns:
+        return [F.col("discovery_order")]
+    return [F.col("depth"), F.col("url")]

@@ -1,0 +1,75 @@
+"""robots.txt gating as a broadcast join + vectorized rule match.
+
+Reference: ``CrawlerCallback.crawl.valid`` consults one RobotFileParser for
+the whole crawl (download.py:978, 1022) — note the reference reads the
+undefined ``settings.user_agent`` there (latent bug, SURVEY.md §7.4); the
+engine takes the agent explicitly.
+
+Rule semantics follow urllib.robotparser's documented behavior: within the
+best-matching agent section, the first rule (file order) whose path prefix
+matches the URL path decides; no matching rule (or no rules for the
+domain) means allowed. Agent specificity: rules for the exact agent beat
+``'*'`` rules.
+
+Rules live in a small per-domain table (FIXTURES.md §4) broadcast to the
+candidates — robots tables are tiny relative to frontiers (one row per
+rule, ~10^5 domains x ~10 rules even at web scale fits a broadcast; if it
+ever didn't, the join key (domain) co-partitions with the politeness
+shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROBOTS_SCHEMA = "domain string, agent string, rule string, path_prefix string, order int"
+
+
+def robots_gate(
+    candidates: DataFrame,
+    robots: DataFrame,
+    user_agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Filter candidates to rows robots.txt allows for ``user_agent``.
+
+    Plan shape: broadcast-join candidates x rules on domain, filter to
+    prefix-matching rules, pick the winning rule per URL with a min_by
+    aggregation (agent specificity, then file order), allow when the winner
+    allows or no rule matched.
+    """
+    path = F.coalesce(
+        F.when(
+            F.col(url_col).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+            F.parse_url(F.col(url_col), F.lit("PATH")),
+        ),
+        F.lit("/"),
+    )
+    cand = candidates.withColumn("_path", F.when(path == "", "/").otherwise(path))
+
+    applicable = robots.filter(
+        (F.col("agent") == user_agent) | (F.col("agent") == "*")
+    ).withColumn(
+        "_specificity", F.when(F.col("agent") == user_agent, 0).otherwise(1)
+    )
+
+    joined = cand.join(F.broadcast(applicable), "domain", "left")
+    matches = joined.withColumn(
+        "_hit",
+        F.col("path_prefix").isNotNull()
+        & (
+            (F.col("path_prefix") == "")
+            | F.col("_path").startswith(F.col("path_prefix"))
+        ),
+    )
+    # winner per URL: min (specificity, order) among hits; NULL if none
+    verdict = matches.groupBy(*[F.col(c) for c in candidates.columns]).agg(
+        F.min_by(
+            F.col("rule"), F.when(F.col("_hit"), F.struct("_specificity", "order"))
+        ).alias("_winning_rule")
+    )
+    allowed = verdict.filter(
+        F.col("_winning_rule").isNull() | (F.col("_winning_rule") == "allow")
+    )
+    return allowed.drop("_winning_rule")

@@ -1,0 +1,258 @@
+"""Pure-numpy image codecs + verification metrics for the image payload
+pipeline.
+
+The reference treats media as opaque bytes (``Download.save_as``
+download.py:596-616 writes ``<md5(url)>.<ext>`` blobs; MEDIA_EXTENSIONS
+common.py:45 excludes them from link-crawling). The engine's pages table
+carries decoded-verifiable payloads per BASELINE.json ``input_hint``:
+``(image_id, bytes, w, h, fmt, caption, phash)`` with per-row invariants
+ - lossless formats (png/bmp/ppm): decoded-pixel exact ``allclose``
+ - lossy stand-in ("qnt", a quantizing codec — no JPEG lib in-container):
+   PSNR >= 40 dB
+ - captions: exact string equality after the §2.2 normalize kernel.
+
+No Pillow/libjpeg exists in this sandbox, so codecs are implemented
+directly: PNG (zlib, filter 0 encode / filters 0-4 decode), BMP (24-bit
+BI_RGB), PPM (P6), and the lossy stand-in quantizes to a step-4 lattice
+before PNG-encoding (uniform quantization error => PSNR ~46 dB > 40 dB
+gate). All functions operate on uint8 RGB arrays (h, w, 3).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(kind: bytes, payload: bytes) -> bytes:
+    data = kind + payload
+    return struct.pack(">I", len(payload)) + data + struct.pack(">I", zlib.crc32(data))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as an RGB8 PNG (filter 0)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            out[y] = line.astype(np.uint8)
+        elif ftype == 2:  # Up
+            out[y] = ((line + prev) & 0xFF).astype(np.uint8)
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-neighbor recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    val = line[x] + a
+                elif ftype == 3:
+                    val = line[x] + (a + b) // 2
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    val = line[x] + pred
+                cur[x] = val & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an RGB8 non-interlaced PNG into (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        kind = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if kind == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+        elif kind == b"IDAT":
+            idat.extend(payload)
+        elif kind == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    return _unfilter(raw, h, w * 3, 3).reshape(h, w, 3)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a 24-bit BI_RGB bottom-up BMP."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up, BGR order
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    w, h = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    if bpp != 24:
+        raise ValueError("only 24-bit BMP supported")
+    row_size = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = np.frombuffer(data[offset : offset + row_size * h], dtype=np.uint8).reshape(
+        h, row_size
+    )
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, whitespace-separated w h maxval, single whitespace, raster
+    parts = []
+    pos = 2
+    while len(parts) < 3:
+        while data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while not data[pos : pos + 1].isspace():
+            pos += 1
+        parts.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval 255 supported")
+    return np.frombuffer(data[pos : pos + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+QUANT_STEP = 4  # lossy stand-in lattice; uniform error in [-2,2) => PSNR ~46dB
+
+
+def encode_qnt(pixels: np.ndarray) -> bytes:
+    """Lossy stand-in codec: quantize to a step-4 lattice, then PNG.
+
+    Container has no JPEG library; this models "lossy but PSNR >= 40 dB"
+    deterministically (quantization MSE = step^2/12 ~= 1.33 -> ~46.9 dB).
+    """
+    q = ((pixels.astype(np.int32) + QUANT_STEP // 2) // QUANT_STEP * QUANT_STEP).clip(0, 255)
+    return b"QNT0" + encode_png(q.astype(np.uint8))
+
+
+def decode_qnt(data: bytes) -> np.ndarray:
+    if data[:4] != b"QNT0":
+        raise ValueError("not a QNT payload")
+    return decode_png(data[4:])
+
+
+_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm, "qnt": encode_qnt}
+_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm, "qnt": decode_qnt}
+LOSSLESS_FORMATS = frozenset({"png", "bmp", "ppm"})
+LOSSY_FORMATS = frozenset({"qnt"})
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](pixels)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    return _DECODERS[fmt](data)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def average_hash(pixels: np.ndarray) -> int:
+    """64-bit perceptual-hash stand-in: 8x8 block-mean grayscale threshold.
+
+    Deterministic, and stable across lossless encode/decode; lossy ("qnt")
+    rows stay within a small Hamming band because quantization error (<=2
+    per channel) rarely crosses the block-mean threshold.
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # integral-image block means over an 8x8 grid (no resize dependency)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            blocks[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    # interpret as signed 64-bit so it round-trips through Spark LongType
+    return value - (1 << 64) if value >= 1 << 63 else value
+
+
+def synth_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Deterministic per-image pixel pattern f(seed, image_id, x, y).
+
+    A cheap vectorized integer mix — NOT cryptographic; just stable,
+    high-entropy test imagery.
+    """
+    key = zlib_crc32_64(image_id) ^ (seed * 0x9E3779B97F4A7C15)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.uint64)
+    base = (xx * 0x9E3779B97F4A7C15 + yy * 0xC2B2AE3D27D4EB4F + np.uint64(key & 0xFFFFFFFFFFFFFFFF))
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        v = base + np.uint64(c * 0x165667B19E3779F9)
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(33)
+        out[:, :, c] = (v & np.uint64(0xFF)).astype(np.uint8)
+    return out
+
+
+def zlib_crc32_64(s: str) -> int:
+    """64-bit key from a string via two salted crc32s (stdlib-only)."""
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x00salt")
