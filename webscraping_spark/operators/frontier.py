@@ -66,13 +66,16 @@ class Frontier:
     def empty(cls, spark: SparkSession) -> "Frontier":
         return cls(spark.createDataFrame([], FRONTIER_SCHEMA))
 
-    def push(self, candidates: DataFrame) -> "Frontier":
-        """Enqueue candidate URLs, ignoring keys already present.
+    def push(self, candidates: DataFrame, dedup: bool = True) -> "Frontier":
+        """Enqueue candidate URLs.
 
-        Parity: Queue.push INSERT OR IGNORE (pdict.py:463) + the unseen
-        check of threaded_get's extend. ``candidates`` needs columns
-        (url, url_hash, domain, depth, priority); seq/status/retry are
-        assigned here.
+        ``dedup=True`` is Queue.push INSERT OR IGNORE parity (pdict.py:463):
+        keys already in the frontier are dropped. ``dedup=False`` is the
+        threaded_get deque contract (download.py:834-836): the queue itself
+        never dedups — the caller's `found` set does — which is what lets a
+        page link back to a seed and re-queue it (seeds are never in
+        `found`). ``candidates`` needs columns (url, url_hash, domain,
+        depth, priority); seq/status/retry are assigned here.
 
         Dedup-within-batch keeps the FIRST occurrence in (depth, priority
         desc, discovery) order via min-seq — matching the sequential
@@ -91,7 +94,11 @@ class Frontier:
             )
             .select("url_hash", "_ord", "r.*")
         )
-        fresh = first_per_key.join(self.df.select("url_hash"), "url_hash", "left_anti")
+        fresh = (
+            first_per_key.join(self.df.select("url_hash"), "url_hash", "left_anti")
+            if dedup
+            else first_per_key
+        )
         stamped, n_new = assign_global_seq(fresh, [F.col("_ord").asc()], start=self.next_seq)
         new_rows = (
             stamped.drop("_ord")

@@ -1,0 +1,125 @@
+"""Iceberg-style snapshot layer over parquet — atomic manifest commits with
+per-partition lineage and metrics.
+
+No Iceberg jars exist in this container (SURVEY.md §7.0), so the engine
+ships a thin, format-compatible-in-spirit table layer: each commit writes
+parquet files under ``data/<table>/snap-<N>/`` and then atomically renames
+a manifest JSON into place — the same tmp-file + rename crash-consistency
+trick the reference uses for its state file (State.save,
+download.py:931-945). The manifest records lineage (superstep, parent
+snapshot, input description), per-file row counts, and arbitrary metrics,
+which is what makes the crawl resumable from any superstep
+(``CrawlJob.resume``). When real Iceberg jars are on the classpath the
+same interface maps onto ``MERGE INTO``/snapshot reads; the engine only
+ever appends whole snapshots, so the swap is mechanical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.root = root
+        self.name = name
+        self.table_dir = os.path.join(root, "data", name)
+        self.meta_dir = os.path.join(root, "meta", name)
+        os.makedirs(self.table_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- manifest helpers ----------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"manifest-{version:06d}.json")
+
+    def current_version(self) -> int:
+        versions = [
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("manifest-") and f.endswith(".json")
+        ]
+        return max(versions, default=-1)
+
+    def read_manifest(self, version: int | None = None) -> dict | None:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return None
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    # -- commit / load ---------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        superstep: int,
+        lineage: dict[str, Any] | None = None,
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        """Write ``df`` as the next snapshot; atomic manifest rename."""
+        version = self.current_version() + 1
+        snap_dir = os.path.join(self.table_dir, f"snap-{version:06d}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        files = [
+            {"path": os.path.join(snap_dir, f), "bytes": os.path.getsize(os.path.join(snap_dir, f))}
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        ]
+        manifest = {
+            "table": self.name,
+            "version": version,
+            "superstep": superstep,
+            "parent_version": version - 1,
+            "committed_at": time.time(),
+            "location": snap_dir,
+            "files": files,
+            "lineage": lineage or {},
+            "metrics": metrics or {},
+        }
+        tmp = self._manifest_path(version) + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._manifest_path(version))  # atomic commit point
+        return version
+
+    def load(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        manifest = self.read_manifest(version)
+        if manifest is None:
+            return None
+        return spark.read.parquet(manifest["location"])
+
+
+class SnapshotCatalog:
+    """A directory of SnapshotTables + a crawl-level state manifest."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, name: str) -> SnapshotTable:
+        return SnapshotTable(self.root, name)
+
+    def save_state(self, state: dict) -> None:
+        """Atomic crawl-state JSON (State.save parity, download.py:924-945)."""
+        path = os.path.join(self.root, "status.json")
+        tmp = f"{path}.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
+
+    def load_state(self) -> dict | None:
+        path = os.path.join(self.root, "status.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
