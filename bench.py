@@ -1,0 +1,239 @@
+"""Benchmark: frontier URLs/sec through the full crawl pipeline
+(canonicalize -> hash -> dedup -> robots -> politeness plan -> salted
+fetch-join -> link extraction), per BASELINE.md.
+
+Prints ONE JSON line:
+  {"metric": "frontier_urls_per_sec", "value": N, "unit": "urls/sec",
+   "queries": {stage/query: sec, ...}, "sf": ..., ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1) — used
+                       for the relational headline queries
+  SPARK_GRAFT_CPUS     local[N] parallelism (default: all cores)
+  SPARK_GRAFT_BENCH_N  frontier rows (default 1_000_000)
+
+The frontier itself is synthesized distributed (schema-true to the 10^10
+design: Zipf-skewed domains, dirty links needing canonicalization); the
+pages store is a 1:4 subset with HTML bodies carrying extractable links.
+Designed to run identically at any parallelism — bench_scaling.py runs it
+at local[8] and local[32] via spark-submit --py-files and reports scaling
+efficiency (BASELINE.md criterion: >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_frontier(spark, n: int):
+    """n candidate links over ~n/200 domains, Zipf-ish skew, 30% dirty
+    (relative/fragment/entity) links — all JVM expressions, no driver data."""
+    n_domains = max(n // 200, 10)
+    df = spark.range(n)
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0 + 0.0000005)
+    # log-uniform => ~1/x density over domain ids (hot-domain skew)
+    domain_id = F.floor(F.exp(u * F.log(F.lit(float(n_domains))))).cast("long")
+    base = F.concat(F.lit("http://d"), domain_id.cast("string"), F.lit(".com/dir/index.html"))
+    kind = F.pmod(F.col("id"), F.lit(10))
+    raw_link = (
+        F.when(kind < 4, F.concat(F.lit("page"), F.col("id").cast("string"), F.lit(".html")))
+        .when(kind < 6, F.concat(F.lit("../p"), F.col("id").cast("string"), F.lit(".html#frag")))
+        .when(kind < 8, F.concat(F.lit("q"), F.col("id").cast("string"), F.lit(".html?a=1&amp;b=2")))
+        .otherwise(
+            F.concat(
+                F.lit("http://d"),
+                domain_id.cast("string"),
+                F.lit(".com/abs"),
+                F.col("id").cast("string"),
+                F.lit(".html"),
+            )
+        )
+    )
+    return df.select(
+        F.col("id").alias("discovery_order"),
+        base.alias("base_url"),
+        raw_link.alias("raw_link"),
+        (F.pmod(F.col("id"), F.lit(100))).cast("int").alias("priority"),
+        F.col("id").alias("seq"),
+    )
+
+
+def _build_pipeline(spark, n: int, timings: dict | None = None):
+    """Compose the superstep pipeline; returns the final links DataFrame.
+
+    The headline measurement executes this FUSED — one terminal action —
+    so Catalyst pipelines the stages and fixed per-job overhead is paid
+    once, which is also how the real crawl loop runs a superstep.
+    """
+    from webscraping_spark.functions import udfs
+    from webscraping_spark.operators import politeness
+    from webscraping_spark.operators.seen import BloomSeenSet, ExactSeenSet
+
+    frontier = synth_frontier(spark, n)
+
+    # canonicalize + domain + hash: JVM fast path for clean links, pandas
+    # UDF only for dirty ones; domain is a pure JVM expression
+    canon = udfs.canonicalize_split(frontier, "base_url", "raw_link", "url").select(
+        "priority",
+        "seq",
+        "url",
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn(
+        "domain", udfs.get_domain_col(F.col("url"))
+    ).withColumn("depth", F.lit(1))
+
+    # seen-set dedup: ~25% of clean absolute URLs pre-seen. The seen rows
+    # are reconstructed independently (same JVM expressions as
+    # synth_frontier's kind>=8 arm) so `canon` has a single consumer and
+    # the pipeline needs no mid-plan persist.
+    n_domains = max(n // 200, 10)
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0 + 0.0000005)
+    domain_id = F.floor(F.exp(u * F.log(F.lit(float(n_domains))))).cast("long")
+    seen_src = spark.range(n).filter(F.pmod(F.col("id"), F.lit(10)) >= 8)
+    seen_rows = seen_src.select(
+        F.xxhash64(
+            F.concat(
+                F.lit("http://d"),
+                domain_id.cast("string"),
+                F.lit(".com/abs"),
+                F.col("id").cast("string"),
+                F.lit(".html"),
+            )
+        ).alias("url_hash"),
+        F.lit(0).alias("depth"),
+    )
+    exact = ExactSeenSet(seen_rows)
+    bloom = BloomSeenSet.empty(
+        spark,
+        num_partitions=max(spark.sparkContext.defaultParallelism, 8),
+        expected_items_per_partition=max(
+            n // 4 // max(spark.sparkContext.defaultParallelism, 8), 1000
+        ),
+    ).add(seen_rows)
+    unseen = bloom.filter_unseen_prefilter(canon, exact)
+
+    # politeness plan (distributed grouped prefix sum) + salted repartition
+    state = spark.createDataFrame([], politeness.DOMAIN_STATE_SCHEMA)
+    planned, _ = politeness.plan_schedule(unseen, state, delay=5.0, variance=0.5, seed=42)
+    salted = politeness.salted_repartition(planned, hot_threshold=5000, salt_rows_per_bucket=2000)
+
+    # fetch stage: join against a page store (1 page per 4 candidate links)
+    store = (
+        spark.range(n // 4)
+        .select(
+            F.concat(
+                F.lit("http://d"),
+                F.pmod(F.xxhash64("id"), F.lit(max(n // 200, 10))).cast("string"),
+                F.lit(".com/page"),
+                F.col("id").cast("string"),
+                F.lit(".html"),
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><body><p class="caption">caption </p>'),
+                F.lit('<a href="/l1.html">a</a><a href="l2.html#x">b</a>'),
+                F.lit("</body></html>"),
+            ).alias("serve_html"),
+        )
+    )
+    fetched = salted.join(store, "url", "left")
+    extracted = fetched.filter(F.col("serve_html").isNotNull()).select(
+        "url",
+        "seq",
+        F.posexplode(udfs.find_links_col(F.col("serve_html"))).alias("pos", "raw"),
+    )
+    links = extracted.withColumn(
+        "link", udfs.canonicalize_url_udf(F.col("url"), F.col("raw"))
+    )
+    return links
+
+
+def run_frontier_pipeline(spark, n: int, timings: dict) -> tuple[int, float]:
+    """The measured job: one full dedup+schedule+fetch superstep, fused.
+
+    A quarter-size warmup run executes (and is discarded) first: it forces
+    every Python worker to import its kernel, JIT-compiles the hot codegen
+    stages, and pages in the shuffle paths — without it, run-to-run
+    variance at high core counts is ~2x and the first run always loses.
+    """
+    warm = _build_pipeline(spark, max(n // 4, 10_000), None)
+    t_warm = time.time()
+    warm.write.format("noop").mode("overwrite").save()
+    timings["warmup_pipeline"] = round(time.time() - t_warm, 3)
+
+    t0 = time.time()
+    links = _build_pipeline(spark, n, timings)
+    links.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+    timings["fused_pipeline"] = round(elapsed, 3)
+    return n, elapsed
+
+
+def run_headline_queries(spark, sf_dir: str, timings: dict) -> None:
+    import __spark_entry__ as entrymod
+
+    headline = [
+        "unseen_filter_anti_join",
+        "priority_pull_topk",
+        "politeness_plan_window",
+        "exact_dedup_docs",
+        "minhash_near_dupes",
+        "embedding_topk_cosine",
+        "token_count",
+        "image_verify",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        t = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[f"q_{name}"] = round(time.time() - t, 3)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_N", 1_000_000))
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+
+    from webscraping_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_local{cpus}", cores=cpus)
+    timings: dict[str, float] = {}
+
+    # warm the JVM + the Arrow Python workers on every core so the
+    # measurement isn't startup-bound
+    from webscraping_spark.functions import udfs
+
+    warm = spark.range(cpus * 2000).repartition(cpus).select(
+        udfs.canonicalize_url_udf(
+            F.lit("http://w.com/a/b.html"), F.concat(F.lit("../x"), F.col("id").cast("string"))
+        ).alias("u")
+    )
+    warm.count()
+
+    n_urls, pipeline_sec = run_frontier_pipeline(spark, n, timings)
+    urls_per_sec = n_urls / pipeline_sec if pipeline_sec > 0 else 0.0
+    run_headline_queries(spark, sf_dir, timings)
+
+    result = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(urls_per_sec, 1),
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf,
+        "frontier_rows": n_urls,
+        "pipeline_sec": round(pipeline_sec, 3),
+        "cores": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
+compare row counts + order-insensitive values."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize_rows(cols, rows):
+    out = []
+    for row in rows:
+        vals = dict(zip(cols, row)) if not hasattr(row, "asDict") else row.asDict()
+        norm = []
+        for c in sorted(vals):
+            v = vals[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    norm.append((c, "nan"))
+                else:
+                    norm.append((c, round(v, 6)))
+            else:
+                norm.append((c, v))
+        out.append(tuple(norm))
+    return sorted(out)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"url", "domain", "seq", "scheduled_offset"}
+    assert len(rows) > 0
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
+def test_query_vs_oracle(spark, sf_dir, ddb, name):
+    q = entrymod.queries()[name]
+    spark_df = q(spark, sf_dir)
+    spark_rows = normalize_rows(spark_df.columns, spark_df.collect())
+    res = ddb.sql(entrymod.oracle_sql()[name])
+    ddb_rows = normalize_rows([d[0] for d in res.description], res.fetchall())
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row count mismatch"
+    assert spark_rows == ddb_rows, f"{name}: value mismatch"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
+    assert df.count() >= 0  # runs and returns a stable schema
+    assert len(df.columns) > 0

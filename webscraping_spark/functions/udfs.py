@@ -85,6 +85,100 @@ def to_ascii_col(s: Column) -> Column:
     return F.regexp_replace(s, "[^\\x00-\\x7F]", "")
 
 
+def get_domain_col(url: Column) -> Column:
+    """Registrable domain (common.py:408-429) as a pure JVM expression —
+    the hot-path twin of ``get_domain_udf`` (which stays as the parity
+    oracle; tests assert equality).
+
+    Logic: IP literals pass through; otherwise lowercase host, split on
+    '.', and keep labels from the LAST non-suffix label onward (the
+    reference's forward walk that resets `domain` at each non-suffix
+    label is equivalent).
+    """
+    from webscraping_spark.functions.urlnorm import _DOMAIN_SUFFIXES
+
+    ip = F.regexp_extract(url, r"^.*://(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})", 1)
+    host = F.lower(
+        F.element_at(F.split(F.regexp_replace(url, "^.*://", ""), "/"), 1)
+    )
+    labels = F.split(host, "\\.")
+    # suffix-set membership as ONE compiled regex alternation: an
+    # F.array(...280 literals...) inside the lambda re-allocates the array
+    # per row per label (GC-bound, anti-scales with cores — measured 4x
+    # slowdown at local[32]); the regex costs no allocation and scales.
+    suffix_pattern = "^(%s)$" % "|".join(sorted(_DOMAIN_SUFFIXES))
+    idxs = F.sequence(F.lit(1), F.size(labels))
+    non_suffix = F.filter(
+        idxs, lambda i: ~F.element_at(labels, i).rlike(suffix_pattern)
+    )
+    start = F.coalesce(F.element_at(non_suffix, -1), F.lit(1))
+    domain = F.array_join(
+        F.slice(labels, start, F.size(labels) - start + 1), "."
+    )
+    return F.when(ip != "", ip).otherwise(domain)
+
+
+def clean_link_predicate(link: Column) -> Column:
+    """True when ``link`` is provably a fixpoint of
+    CrawlerCallback.normalize: absolute http(s), no fragment, no percent
+    escape, no HTML entity, no '/..' segment, ASCII-only. For such links
+    canonicalize_url(base, link) == link for any base."""
+    return (
+        link.rlike("^https?://")
+        & ~link.rlike(r"[%#]|&#?\w+;|/\.\.")
+        & ~link.rlike("[^\\x00-\\x7F]")
+    )
+
+
+def canonicalize_split(df, base_col: str, link_col: str, out_col: str):
+    """DataFrame-level tiered canonicalization.
+
+    Spark's ExtractPythonUDFs rule evaluates a pandas UDF for every row
+    even under a when() branch, so the fast paths must be physical splits:
+
+      tier 0  clean absolute links: provable normalize fixpoints — project
+              as-is (pure JVM).
+      tier 1  simple relative links against a clean base: after JVM-side
+              fragment strip and ``&amp;`` decode, a link that has no
+              percent escape, no other entity, no dot-segments, no
+              scheme/authority, and doesn't start with '/' resolves as
+              base-directory + link — exactly what urljoin does for that
+              shape (pure JVM regex).
+      tier 2  everything else: the exact pandas-UDF kernel.
+
+    Real frontiers are dominated by tiers 0-1 (absolute hrefs and sibling
+    relative hrefs), so the Python kernel only sees the genuinely dirty
+    tail. Parity with ``canonicalize_url`` is asserted by tests on every
+    tier boundary.
+    """
+    base = F.col(base_col)
+    link = F.col(link_col)
+
+    tier0 = clean_link_predicate(link)
+
+    # JVM-decodable form of the link: fragment strip + &amp; -> &
+    decoded = F.regexp_replace(F.regexp_replace(link, "#.*$", ""), "&amp;", "&")
+    base_has_dir = base.rlike("^https?://[^/?#]+/[^?#]*$")  # path, no query/frag
+    simple_rel = (
+        ~decoded.rlike(r"[%#]|&#?\w+;|[^\x00-\x7F]")  # nothing left to decode
+        & ~decoded.rlike(r"(^|/)\.\.?(/|$)")  # no ./.. segments
+        & ~decoded.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")  # no scheme (mailto:, http:)
+        & ~decoded.startswith("/")  # not root-relative
+        & ~decoded.startswith("?")  # query-only links replace base query, not path
+        & (decoded != "")
+    )
+    tier1 = ~tier0 & base_has_dir & simple_rel
+
+    t0_df = df.filter(tier0).withColumn(out_col, link)
+    t1_df = df.filter(tier1).withColumn(
+        out_col, F.concat(F.regexp_replace(base, "[^/]*$", ""), decoded)
+    )
+    t2_df = df.filter(~tier0 & ~tier1).withColumn(
+        out_col, canonicalize_url_udf(base, link)
+    )
+    return t0_df.unionByName(t1_df).unionByName(t2_df)
+
+
 def url_hash_col(url: Column) -> Column:
     """64-bit canonical-URL hash — the seen-set / partition key.
 

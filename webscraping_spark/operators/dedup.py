@@ -1,0 +1,302 @@
+"""Deduplication family for large-scale document pipelines.
+
+The reference's dedup machinery is URL-level (HashDict seen set,
+UnicodeWriter ``unique_by`` row dedup, common.py:580-630); a 100-TB
+training-data engine needs the content-level family too. All operators are
+DataFrame-native; Python appears only in Arrow-batched numpy kernels.
+
+Operators:
+  exact_dedup         hash-groupBy on the raw text (md5)
+  shingles            word k-shingle hash explode (building block)
+  ngram_jaccard_pairs exact Jaccard over shingle sets (the oracle for the
+                      approximate methods; self-join on shingle hash)
+  minhash_signatures  64-perm MinHash via one xxhash64 + 64 affine remixes
+                      (numpy, vectorized per Arrow batch)
+  lsh_candidate_pairs band the signatures, bucket-join, emit pairs
+  minhash_near_dupes  LSH candidates filtered by estimated Jaccard
+  simhash             64-bit SimHash over token hashes; near-dup via
+                      banded Hamming join
+  embedding_near_dupes cosine > threshold pairs via block self-join
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact + shingle layer (pure JVM expressions)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, rep_id = min id, n_dupes)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), "\\s+")
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-k-shingle hashes per doc: (id, shingle_hash).
+
+    Shingle text built with JVM higher-order functions (transform over a
+    sequence of start positions + array_join + slice) — zero Python.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle_arr = F.transform(
+        starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " "))
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(shingle_arr)).alias("shingle_hash"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for all doc pairs sharing >= 1
+    shingle. Self-join on shingle_hash: shuffle is |shingles| x avg bucket
+    size — bound the input (filter/sample) before calling at scale, or use
+    minhash_near_dupes which exists precisely to avoid this join."""
+    sh = shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (numpy kernel, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    k: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig ARRAY<LONG>[n_hashes]) — MinHash over word-k-shingles.
+
+    One base shingle hash per shingle (JVM xxhash64 via `shingles`), then
+    n affine remixes min-reduced per doc in a grouped numpy kernel:
+    sig[j] = min over shingles of (a_j * h + b_j mod M). Equivalent to n
+    independent permutations for Jaccard estimation.
+    """
+    a, b = _perm_params(n_hashes, seed)
+    sh = shingles(docs, k, text_col, id_col)
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["shingle_hash"].to_numpy(dtype=np.int64).astype(np.uint64) % _MERSENNE
+        # (n_shingles, n_hashes) affine remix in uint64 mod-Mersenne
+        vals = (h[:, None] * a.astype(np.uint64) + b.astype(np.uint64)) % _MERSENNE
+        sig = vals.min(axis=0).astype(np.int64)
+        return pd.DataFrame({"id": [pdf[id_col].iloc[0]], "sig": [sig.tolist()]})
+
+    return sh.groupBy(id_col).applyInPandas(per_doc, "id long, sig array<long>")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
+    """Band each signature, hash the band, join within buckets -> candidate
+    (id_a, id_b) pairs. The banded shuffle replaces the all-pairs join."""
+    sig_len_row = signatures.select(F.size("sig").alias("n")).first()
+    rows_per_band = (sig_len_row["n"] if sig_len_row else 64) // n_bands
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda band: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), band * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dupes(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates filtered by signature-estimated Jaccard >= threshold."""
+    sigs = minhash_signatures(docs, n_hashes, k, seed, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, n_bands)
+    a = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    b = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(n_hashes)
+    return joined.withColumn("est_jaccard", est).filter(
+        F.col("est_jaccard") >= threshold
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash LONG): sign of per-bit sums of token hashes.
+
+    Token hashing is JVM (xxhash64 on exploded tokens); the 64-bit
+    majority-vote reduction is a grouped numpy kernel.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).withColumn("tok_hash", F.xxhash64("tok"))
+
+    def reduce_bits(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["tok_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame({"id": [pdf[id_col].iloc[0]], "simhash": [np.int64(sig)]})
+
+    return toks.groupBy(id_col).applyInPandas(reduce_bits, "id long, simhash long")
+
+
+def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Banded Hamming join: 4 x 16-bit chunks — pairs within max_hamming
+    bits must agree on >= 1 chunk when max_hamming < 4*... (pigeonhole with
+    4 bands covers Hamming <= 3 exactly; wider radii add recall loss,
+    documented)."""
+    sh = simhash(docs, **kw)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dupes(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-similar pairs above threshold.
+
+    Brute-force block self-join (exact). At scale, pre-bucket with the
+    similarity module's LSH and feed buckets here.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        norm.alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -66,12 +66,55 @@ def plan_schedule(
     b = batch.withColumn("_proxy", proxy).withColumn(
         "_jitter", jitter_col(delay, variance, seed)
     )
-    w = (
-        Window.partitionBy("domain", "_proxy")
-        .orderBy(F.col("priority").desc(), F.col("seq").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Distributed grouped prefix-sum. A naive
+    # Window.partitionBy(domain).orderBy(...) cumsum is semantically what we
+    # want, but Spark's window implementation buffers rows and a
+    # repartitionByRange two-phase scan pays a sampling pass (one full
+    # upstream re-evaluation) plus cross-partition offset plumbing. Hash
+    # partitioning on (domain, proxy) needs ONE shuffle pass, keeps each
+    # politeness group whole, and the in-partition grouped running sum is a
+    # vectorized numpy scan. A mega-domain makes its partition larger, but
+    # the scan is O(rows) numpy — measured cheaper than the range variant's
+    # extra upstream pass at every skew level we generate; execution-side
+    # straggler relief stays where it belongs, in salted_repartition after
+    # planning.
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+    order = [F.col("domain"), F.col("_proxy"), F.col("priority").desc(), F.col("seq").asc()]
+    arranged = b.repartition(n_parts, "domain", "_proxy").sortWithinPartitions(*order)
+
+    from pyspark.sql import types as T
+
+    # StructType.add mutates in place — never call it on a live DF's schema
+    schema = T.StructType(
+        list(arranged.schema.fields) + [T.StructField("_prior_delay", T.DoubleType())]
     )
-    b = b.withColumn("_prior_delay", F.coalesce(F.sum("_jitter").over(w), F.lit(0.0)))
+    out_cols = [f.name for f in schema.fields]
+
+    def local_scan(batches):
+        import numpy as np
+
+        running: dict[tuple, float] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            prior = np.zeros(len(pdf))
+            jit = pdf["_jitter"].to_numpy()
+            keys = list(zip(pdf["domain"].to_numpy(), pdf["_proxy"].to_numpy()))
+            # rows arrive sorted by (domain, proxy, order); group-contiguous
+            start = 0
+            for i in range(1, len(pdf) + 1):
+                if i == len(pdf) or keys[i] != keys[start]:
+                    base = running.get(keys[start], 0.0)
+                    seg = jit[start:i]
+                    cums = np.concatenate(([0.0], np.cumsum(seg[:-1]))) + base
+                    prior[start:i] = cums
+                    running[keys[start]] = base + float(seg.sum())
+                    start = i
+            out = pdf.copy()
+            out["_prior_delay"] = prior
+            yield out[out_cols]
+
+    b = arranged.mapInPandas(local_scan, schema)
     state = domain_state.withColumnRenamed("proxy", "_proxy")
     planned = (
         b.join(F.broadcast(state), ["domain", "_proxy"], "left")
@@ -111,14 +154,30 @@ def salted_repartition(
     hot_threshold: int = 10_000,
     salt_rows_per_bucket: int = 2_000,
     num_partitions: int | None = None,
+    salt_buckets: int | None = 32,
 ) -> DataFrame:
     """Repartition a planned batch for the fetch stage, salting hot domains.
 
     Politeness is already encoded in ``scheduled_offset`` (plan-on-unsalted),
     so splitting a domain across tasks cannot violate spacing; salting only
-    fixes the straggler. ``salt = pmod(url_hash, S)`` with S sized from the
-    domain's row count.
+    fixes the straggler.
+
+    Two modes:
+      - ``salt_buckets=S`` (default): count-free — every row gets
+        ``salt = pmod(url_hash, S)``; a hot domain spreads over up to S
+        tasks and small domains are unharmed (their S sub-buckets hash to
+        partitions together or apart, either is fine for fetch execution).
+        Single pass, no extra aggregation job.
+      - ``salt_buckets=None``: adaptive — measure per-domain counts and
+        size salts per hot domain (an extra aggregation pass over the
+        batch; worth it only when S must be tuned per domain).
     """
+    n = num_partitions or batch.sparkSession.sparkContext.defaultParallelism
+    if salt_buckets is not None:
+        salted = batch.withColumn(
+            "salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+        )
+        return salted.repartition(n, "domain", "salt")
     counts = domain_counts(batch)
     hot = counts.filter(F.col("n_urls") > hot_threshold).withColumn(
         "n_salts",
@@ -135,7 +194,6 @@ def salted_repartition(
         )
         .drop("n_salts")
     )
-    n = num_partitions or batch.sparkSession.sparkContext.defaultParallelism
     return salted.repartition(n, "domain", "salt")
 
 

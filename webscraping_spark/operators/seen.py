@@ -266,6 +266,9 @@ class BloomSeenSet:
             F.lit(0).cast("long").alias("n_items"), "h",
         ).unionByName(state_rows)
         merged = unioned.groupBy("partition").applyInPandas(build, SEEN_SCHEMA)
+        # filter state is tiny (P rows) and re-read by every probe: pin it
+        # so probes don't rebuild the filters from the raw hashes
+        merged = merged.persist()
         return BloomSeenSet(merged, self.P, self.m, self.k)
 
     def might_contain(self, candidates: DataFrame, on: str = "url_hash") -> DataFrame:
@@ -299,6 +302,38 @@ class BloomSeenSet:
             .applyInPandas(probe, out_schema)
         )
 
+    def might_contain_broadcast(self, candidates: DataFrame, on: str = "url_hash") -> DataFrame:
+        """Shuffle-free probe: collect the P filter rows, broadcast them,
+        and test membership in a pandas UDF — the candidates never move.
+
+        Valid while the total filter state fits a broadcast (P * m/8
+        bytes); ``filter_unseen_prefilter`` picks this automatically below
+        the threshold and falls back to the cogroup probe above it
+        (10^10-URL state ~60 GB is cogroup territory).
+        """
+        spark = candidates.sparkSession
+        filters = {
+            int(r["partition"]): r["filter_bytes"] for r in self.state.collect()
+        }
+        bc = spark.sparkContext.broadcast(filters)
+        k, P = self.k, self.P
+
+        @F.pandas_udf("boolean")
+        def probe(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64)
+            parts = hv % P  # non-negative for positive P (numpy semantics)
+            out = np.zeros(len(hv), dtype=bool)
+            for part in np.unique(parts):
+                filt = bc.value.get(int(part))
+                if filt is not None:
+                    mask = parts == part
+                    out[mask] = bloom_contains(filt, hv[mask], k)
+            return pd.Series(out)
+
+        return candidates.withColumn("might_be_seen", probe(F.col(on)))
+
+    BROADCAST_STATE_LIMIT = 256 * 1024 * 1024
+
     def filter_unseen_prefilter(
         self, candidates: DataFrame, exact: ExactSeenSet, on: str = "url_hash"
     ) -> DataFrame:
@@ -309,10 +344,23 @@ class BloomSeenSet:
         anti-join shuffle. With a healthy FP rate the anti-join input
         shrinks to ~|actually seen| + eps.
         """
-        flagged = self.might_contain(candidates, on=on)
-        clean = flagged.filter(~F.col("might_be_seen")).drop("might_be_seen")
-        maybe = flagged.filter(F.col("might_be_seen")).drop("might_be_seen")
-        return clean.unionByName(exact.filter_unseen(maybe, on=on))
+        state_bytes = self.P * (self.m // 8)
+        if state_bytes <= self.BROADCAST_STATE_LIMIT:
+            flagged = self.might_contain_broadcast(candidates, on=on)
+        else:
+            flagged = self.might_contain(candidates, on=on)
+        # Single-pass anti-join: null out the probe key for rows the Bloom
+        # cleared — NULL never equi-matches, so definitely-unseen rows sail
+        # through the anti join untouched while only might-be-seen keys are
+        # actually probed. One plan, no filter-split union, no re-evaluation
+        # of the probe, and Catalyst broadcasts the seen side when small.
+        probe_key = F.when(F.col("might_be_seen"), F.col(on))
+        seen_keys = exact.df.select(F.col("url_hash").alias("_seen_hash"))
+        return (
+            flagged.withColumn("_probe_key", probe_key)
+            .join(seen_keys, F.col("_probe_key") == F.col("_seen_hash"), "left_anti")
+            .drop("_probe_key", "might_be_seen")
+        )
 
 
 class CuckooSeenSet:

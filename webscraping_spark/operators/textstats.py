@@ -1,0 +1,116 @@
+"""Text analysis operators for the training-data pipeline: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything here is JVM column expressions except the rolling-hash
+fingerprint (a numpy Arrow kernel) — these run inside whole-stage codegen
+over 100-TB document scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# stopword profiles for the n-gram/stopword language heuristic (tiny,
+# deterministic — not a model; real deployments plug fasttext into the
+# same column contract)
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "du"),
+    "es": ("el", "la", "de", "y", "los", "un", "una", "que"),
+    "de": ("der", "die", "und", "das", "ein", "zu", "mit", "von"),
+}
+
+
+def token_count_col(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    t = F.trim(F.col(text_col))
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, "\\s+")))
+
+
+def bpe_ish_token_count_col(text_col: str = "text") -> Column:
+    """Sub-word-ish count: word pieces after splitting on non-alphanumerics
+    plus digit runs (a cheap BPE proxy for budget estimates)."""
+    pieces = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+|(?<=[a-z])(?=[0-9])")
+    return F.size(F.filter(pieces, lambda p: p != ""))
+
+
+def quality_score_cols(text_col: str = "text") -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_col(text_col)
+    punct = F.length(F.regexp_replace(t, "[^.!?,;:]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    stop_hits = _stopword_hits(t, _STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(n_chars / F.greatest(n_tokens, F.lit(1)), 6),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "upper_ratio": F.round(upper / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6),
+    }
+
+
+def _stopword_hits(t: Column, words: tuple[str, ...]) -> Column:
+    toks = F.split(F.lower(F.trim(t)), "\\s+")
+    return F.size(F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in words])))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    cols = quality_score_cols(text_col)
+    return docs.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
+
+
+def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language guess: argmax over per-language hit rates.
+
+    Returns (id, lang_guess, lang_score). greatest()-ladder keeps it in
+    codegen; ties resolve to the lexicographically-first language for
+    determinism.
+    """
+    t = F.col(text_col)
+    scores = [
+        (lang, _stopword_hits(t, words)) for lang, words in sorted(_STOPWORDS.items())
+    ]
+    score_struct = F.array(
+        *[F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang")) for lang, s in scores]
+    )
+    best = F.array_max(score_struct)
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("lang_guess"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """64-bit document fingerprint: min of rolling hashes over normalized
+    byte windows (winnowing-style). Arrow numpy kernel — the per-row loop
+    is a vectorized polynomial rolling hash, not per-character Python."""
+
+    def roll(batches):
+        B = np.uint64(1099511628211)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            texts = pdf[text_col].to_numpy()
+            for i, s in enumerate(texts):
+                data = np.frombuffer(
+                    " ".join(str(s).lower().split()).encode("utf-8"), dtype=np.uint8
+                ).astype(np.uint64)
+                if len(data) < window:
+                    out[i] = np.int64(np.uint64(data.sum() + np.uint64(len(data))).astype(np.int64))
+                    continue
+                # rolling polynomial hash via cumulative powers (vectorized)
+                powers = np.ones(window, dtype=np.uint64)
+                for j in range(1, window):
+                    powers[j] = powers[j - 1] * B
+                strides = np.lib.stride_tricks.sliding_window_view(data, window)
+                hashes = (strides * powers[::-1]).sum(axis=1)
+                out[i] = np.int64(hashes.min().astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fingerprint": out})
+
+    return docs.select(id_col, text_col).mapInPandas(roll, f"{id_col} long, fingerprint long")

@@ -178,17 +178,27 @@ class CrawlJob:
             .withColumn("priority", F.lit(0))
         )
 
-    def run(self, seeds: list[str], max_supersteps: int = 1000) -> CrawlMetrics:
+    def run(self, seeds: list[str], max_supersteps: int = 1000, reset_state: bool = False) -> CrawlMetrics:
+        """Crawl from ``seeds``. State (frontier, seen set, fetch cache)
+        persists across calls — the streaming variant feeds seed batches
+        through repeated run() calls, mirroring the async crawler's
+        incremental seeding (async.py:100-106)."""
         cfg = self.cfg
-        frontier = Frontier.empty(self.spark).push(self.seed_candidates(seeds))
-        found = ExactSeenSet.empty(self.spark)
-        bloom = (
-            BloomSeenSet.empty(self.spark, cfg.bloom_partitions)
-            if cfg.use_bloom_prefilter
-            else None
-        )
-        fetched = self.spark.createDataFrame([], "url_hash long")  # cache contents
-        visit_idx = 0
+        if reset_state or not hasattr(self, "_frontier"):
+            self._frontier = Frontier.empty(self.spark)
+            self._found = ExactSeenSet.empty(self.spark)
+            self._bloom = (
+                BloomSeenSet.empty(self.spark, cfg.bloom_partitions)
+                if cfg.use_bloom_prefilter
+                else None
+            )
+            self._fetched = self.spark.createDataFrame([], "url_hash long")
+            self._visit_idx = 0
+        frontier = self._frontier.push(self.seed_candidates(seeds))
+        found = self._found
+        bloom = self._bloom
+        fetched = self._fetched
+        visit_idx = self._visit_idx
         batch_size = 1 if cfg.mode == ORDER_DFS else cfg.batch_size
 
         for step in range(max_supersteps):
@@ -291,9 +301,44 @@ class CrawlJob:
                 )
             if self.metrics.queue_size == 0:
                 break
+        self._frontier, self._found, self._bloom = frontier, found, bloom
+        self._fetched, self._visit_idx = fetched, visit_idx
         self.final_frontier = frontier
         self.final_found = found
         return self.metrics
+
+    def restore(self, checkpoint_dir: str) -> None:
+        """Restore crawl state from a snapshot catalog (resumability: the
+        north_rule's 'resumable from an Iceberg-snapshot checkpoint').
+
+        Reads the latest frontier/seen snapshots plus the lineage fields
+        (next_seq, pull_counter, visit_idx) the commit recorded; a crawl
+        killed after superstep k and restored here continues identically.
+        """
+        catalog = SnapshotCatalog(checkpoint_dir)
+        manifest = catalog.table("frontier").read_manifest()
+        if manifest is None:
+            raise FileNotFoundError(f"no frontier snapshot under {checkpoint_dir}")
+        self._frontier = Frontier(
+            catalog.table("frontier").load(self.spark),
+            next_seq=manifest["lineage"]["next_seq"],
+            pull_counter=manifest["lineage"]["pull_counter"],
+        )
+        seen_df = catalog.table("seen").load(self.spark)
+        self._found = (
+            ExactSeenSet(seen_df) if seen_df is not None else ExactSeenSet.empty(self.spark)
+        )
+        ds = catalog.table("domain_state").load(self.spark)
+        if ds is not None:
+            self._domain_state = ds
+        self._bloom = None
+        self._fetched = self.spark.createDataFrame([], "url_hash long")
+        self._visit_idx = manifest["lineage"]["visit_idx"]
+        state = catalog.load_state()
+        if state:
+            self.metrics.num_downloads = state.get("num_downloads", 0)
+            self.metrics.num_errors = state.get("num_errors", 0)
+            self.metrics.num_caches = state.get("num_caches", 0)
 
     # ---------------------------------------------------------------- stages
 

