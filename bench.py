@@ -190,9 +190,13 @@ def run_headline_queries(spark, sf_dir: str, timings: dict) -> None:
     qs = entrymod.queries()
     for name in headline:
         t = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[f"q_{name}"] = round(time.time() - t, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[f"q_{name}"] = round(time.time() - t, 3)
+        except Exception as exc:  # one broken query must not kill the JSON
+            timings[f"q_{name}"] = -1.0
+            print(f"# bench query {name} failed: {exc}", file=sys.stderr)
 
 
 def main():
