@@ -80,6 +80,16 @@ def run_at(cores: int, n: int, sf_dir: str, pyfiles: str) -> dict:
     )
 
 
+def _burn(seconds: float) -> int:
+    import time as _t
+
+    t = _t.time()
+    x = 0
+    while _t.time() - t < seconds:
+        x += 1
+    return x
+
+
 def hw_capacity(cores: int, seconds: float = 12.0) -> float:
     """Sustained pure-CPU capacity of this host at `cores` pinned procs
     (Mops/s). The sandbox VM is multi-tenant with CPU steal; this
@@ -88,16 +98,9 @@ def hw_capacity(cores: int, seconds: float = 12.0) -> float:
     import multiprocessing as mp
     import time as _t
 
-    def burn(_):
-        t = _t.time()
-        x = 0
-        while _t.time() - t < seconds:
-            x += 1
-        return x
-
     with mp.Pool(cores) as pool:
         t0 = _t.time()
-        total = sum(pool.map(burn, range(cores)))
+        total = sum(pool.map(_burn, [seconds] * cores))
         elapsed = _t.time() - t0
     return total / elapsed / 1e6
 

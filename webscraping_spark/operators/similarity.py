@@ -113,6 +113,10 @@ def ann_topk(
     if probe_hamming >= 1:
         for j in range(n_planes):
             probes.add(qbucket ^ (1 << j))
+    if probe_hamming >= 2:
+        for j in range(n_planes):
+            for k in range(j + 1, n_planes):
+                probes.add(qbucket ^ (1 << j) ^ (1 << k))
     buckets = hyperplane_lsh_buckets(embeddings, n_planes, seed, id_col, vec_col)
     candidates = embeddings.join(
         buckets.filter(F.col("bucket").isin(list(probes))).select(id_col),
