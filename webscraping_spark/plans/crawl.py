@@ -65,6 +65,13 @@ class CrawlConfig:
     variance: float = 0.5
     seed: int = 42
     use_bloom_prefilter: bool = False
+    # False = threaded_get deque semantics (queue never dedups; `found`
+    # does — a link back to a seed re-queues it, download.py:834/1041).
+    # True = DataCrawler semantics (visited gate, download.py:1117).
+    frontier_dedup: bool = False
+    # state-checkpoint cadence in supersteps (lineage-truncation; the
+    # snapshot-catalog commit cadence is separate and per-step)
+    checkpoint_interval: int = 4
     bloom_partitions: int = 32
     salt_hot_threshold: int = 10_000
 
@@ -200,6 +207,9 @@ class CrawlJob:
         fetched = self._fetched
         visit_idx = self._visit_idx
         batch_size = 1 if cfg.mode == ORDER_DFS else cfg.batch_size
+        # queue size is maintained arithmetically (Queue.size parity,
+        # pdict.py:437-450): one count at entry, then +pushed -pulled
+        queue_size = frontier.queued_count()
 
         for step in range(max_supersteps):
             if cfg.max_urls is not None and visit_idx >= cfg.max_urls:
@@ -208,31 +218,28 @@ class CrawlJob:
             if cfg.max_urls is not None:
                 limit = min(limit, cfg.max_urls - visit_idx)
             batch, frontier = frontier.pull(limit=limit, mode=cfg.mode)
-            batch = batch.localCheckpoint()  # pin the claim
-            rows = batch.select("url", "seq", "depth").orderBy(*self._visit_order()).collect()
-            if not rows:
+            # pin the claimed batch by materializing it driver-side: it is
+            # at most batch_size rows (the visit log needs them anyway),
+            # and re-creating the DataFrame from the collected rows is both
+            # the pin and the collect in a single job
+            all_rows = batch.collect()
+            if not all_rows:
                 break
+            batch = self.spark.createDataFrame(all_rows, batch.schema)
+            rows = sorted(
+                (
+                    {"url": r["url"], "seq": r["seq"], "depth": r["depth"], "priority": r["priority"]}
+                    for r in all_rows
+                ),
+                key=self._visit_sort_key(),
+            )
             for r in rows:
                 self.visit_log.append((r["url"], visit_idx))
                 visit_idx += 1
 
             # ---- fetch stage: resolve batch against the page store --------
             resolved = batch.join(self.store, "url", "left")
-            cache_hits = resolved.join(fetched, "url_hash", "left_semi")
             cache_misses = resolved.join(fetched, "url_hash", "left_anti")
-            n_cache = cache_hits.count()
-            agg = cache_misses.agg(
-                F.sum(
-                    F.when(
-                        F.col("serve_html").isNotNull()
-                        & ~F.col("status_code").isin(404, 500),
-                        1,
-                    ).otherwise(0)
-                ).alias("ok"),
-                F.count("*").alias("total"),
-            ).first()
-            n_ok = agg["ok"] or 0
-            n_err = (agg["total"] or 0) - n_ok
 
             # ---- politeness plan (misses only — cache hits don't fetch) ---
             planned, self._domain_state = politeness.plan_schedule(
@@ -242,28 +249,37 @@ class CrawlJob:
                 variance=cfg.variance,
                 seed=cfg.seed,
             )
-            makespan = planned.agg(F.max("scheduled_offset")).first()[0] or 0.0
-            self.metrics.planned_makespan_sec += makespan
+            # single fused metrics pass: miss count, ok count, makespan
+            agg = planned.agg(
+                F.count("*").alias("n_miss"),
+                F.sum(
+                    F.when(
+                        F.col("serve_html").isNotNull()
+                        & ~F.col("status_code").isin(404, 500),
+                        1,
+                    ).otherwise(0)
+                ).alias("ok"),
+                F.max("scheduled_offset").alias("makespan"),
+            ).first()
+            n_miss = agg["n_miss"] or 0
+            n_ok = agg["ok"] or 0
+            n_err = n_miss - n_ok
+            n_cache = len(rows) - n_miss
+            self.metrics.planned_makespan_sec += agg["makespan"] or 0.0
 
-            fetched = fetched.unionByName(
-                cache_misses.select("url_hash")
-            ).distinct().localCheckpoint()
+            fetched = fetched.unionByName(cache_misses.select("url_hash"))
 
             # ---- link extraction + claim + push ---------------------------
             extracted = self._extract_links(resolved)
+            # _claim_and_cap pins its result internally; `claimed` is a
+            # cheap projection over that pinned frame
             claimed = self._claim_and_cap(extracted, found, bloom)
-            claimed = claimed.localCheckpoint()
 
-            found = ExactSeenSet(
-                found.add(
-                    claimed.select(F.col("link_hash").alias("url_hash"), "depth")
-                ).df.localCheckpoint()
+            found = found.add(
+                claimed.select(F.col("link_hash").alias("url_hash"), "depth")
             )
             if bloom is not None:
                 bloom = bloom.add(claimed.select(F.col("link_hash").alias("url_hash")))
-                bloom = BloomSeenSet(
-                    bloom.state.localCheckpoint(), bloom.P, bloom.m, bloom.k
-                )
 
             queued = claimed.filter(F.col("is_valid")).select(
                 F.col("link").alias("url"),
@@ -273,16 +289,33 @@ class CrawlJob:
                 self._priority_col().alias("priority"),
                 F.col("discovery_order"),
             )
-            frontier = frontier.push(queued, dedup=False)
-            frontier = Frontier(
-                frontier.df.localCheckpoint(), frontier.next_seq, frontier.pull_counter
-            )
+            pre_push_seq = frontier.next_seq
+            frontier = frontier.push(queued, dedup=cfg.frontier_dedup)
+            queue_size += (frontier.next_seq - pre_push_seq) - len(rows)
+
+            # lineage control: iterative DataFrames re-execute their whole
+            # history otherwise. Checkpoint state every few supersteps —
+            # often enough to bound recompute depth, seldom enough that the
+            # block-manager write cost (which serializes at high core
+            # counts) stays off the per-step path.
+            if step % cfg.checkpoint_interval == cfg.checkpoint_interval - 1:
+                frontier = Frontier(
+                    frontier.df.localCheckpoint(),
+                    frontier.next_seq,
+                    frontier.pull_counter,
+                )
+                found = ExactSeenSet(found.df.localCheckpoint())
+                fetched = fetched.distinct().localCheckpoint()
+                if bloom is not None:
+                    bloom = BloomSeenSet(
+                        bloom.state.localCheckpoint(), bloom.P, bloom.m, bloom.k
+                    )
 
             # ---- metrics + snapshot ---------------------------------------
             self.metrics.num_downloads += n_ok
             self.metrics.num_errors += n_err
             self.metrics.num_caches += n_cache
-            self.metrics.queue_size = frontier.queued_count()
+            self.metrics.queue_size = queue_size
             self.metrics.supersteps = step + 1
             if self.catalog:
                 self.catalog.table("frontier").commit(
@@ -349,6 +382,14 @@ class CrawlJob:
             return [F.col("priority").desc(), F.col("seq").asc()]
         return [F.col("depth").asc(), F.col("seq").asc()]
 
+    def _visit_sort_key(self):
+        """Python-side twin of _visit_order for the collected batch."""
+        if self.cfg.mode == ORDER_DFS:
+            return lambda r: (-r["depth"], -r["seq"])
+        if self.cfg.mode == ORDER_BEST:
+            return lambda r: (-r["priority"], r["seq"])
+        return lambda r: (r["depth"], r["seq"])
+
     def _priority_col(self):
         if self.cfg.mode == ORDER_BEST:
             # -link_score (download.py:1062-1078)
@@ -387,6 +428,12 @@ class CrawlJob:
                 | F.col("link_domain").contains(F.col("page_domain"))
             )
         )
+        if getattr(self, "netloc_filter", None):
+            # DataCrawler's strict same-netloc gate (download.py:1116)
+            valid = valid & (
+                F.regexp_extract(F.col("link"), "^[a-zA-Z]+://([^/]+)", 1)
+                == F.lit(self.netloc_filter)
+            )
         if cfg.allowed_urls:
             valid = valid & F.col("link").rlike("^(?:%s)" % cfg.allowed_urls)
         if cfg.banned_urls and cfg.banned_urls != "^$":
@@ -422,7 +469,7 @@ class CrawlJob:
         else:
             fresh = found.filter_unseen(links, on="link_hash")
         fresh = fresh.withColumn("_occ", F.struct("page_seq", "pos"))
-        occurrences = fresh.localCheckpoint()
+        occurrences = fresh
 
         for _ in range(8):  # fixpoint: usually terminates in 1 iteration
             wins = occurrences.groupBy("link_hash").agg(F.min("_occ").alias("_win"))
@@ -441,18 +488,20 @@ class CrawlJob:
                 .groupBy("page_seq")
                 .agg(F.min("pos").alias("_cut_pos"))
             )
-            with_cut = ranked.join(cuts, "page_seq", "left")
+            # pin the iteration result once: the overflow test and the kept
+            # rows both read it, and the next iteration (if any) subtracts
+            # from it — one materialization instead of three evaluations
+            with_cut = ranked.join(cuts, "page_seq", "left").localCheckpoint()
             overflow = with_cut.filter(
                 F.col("_cut_pos").isNotNull() & (F.col("pos") > F.col("_cut_pos"))
             )
-            n_overflow = overflow.count()
-            if n_overflow == 0:
+            if overflow.isEmpty():
                 final = with_cut
                 break
             # remove post-cut occurrences and re-resolve claims
             occurrences = occurrences.join(
                 overflow.select("link_hash", "_occ"), ["link_hash", "_occ"], "left_anti"
-            ).localCheckpoint()
+            )
         else:
             final = with_cut
 

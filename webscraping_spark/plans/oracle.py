@@ -96,6 +96,57 @@ def _robots_allows(cfg: OracleConfig, link: str) -> bool:
     return True
 
 
+def find_data_oracle(
+    pages: dict[str, dict],
+    extract_fn,
+    website: str,
+    max_depth: int | None = 1,
+    max_urls: int | None = None,
+    max_results: int | None = None,
+):
+    """Sequential model of DataCrawler.find (download.py:1080-1126):
+    best-first (insertion-sorted link_score, pop lowest), same-netloc gate,
+    scraped/result caps, order-preserving result dedup. Returns
+    (results, visit_order)."""
+    from urllib.parse import urlparse
+
+    from webscraping_spark.plans.datacrawler import link_score
+
+    netloc = urlparse(website).netloc
+    inner = SequentialOracle(pages, OracleConfig(max_depth=max_depth))
+    res = OracleResult()
+    cache: dict[str, str] = {}
+    clock = [0.0]
+    next_allowed: dict[str, float] = {}
+    scraped: set[str] = set()
+    outstanding: list[tuple[int, str]] = [(0, website)]
+    results: list[str] = []
+    visit_order: list[str] = []
+    while outstanding and (max_urls is None or len(scraped) < max_urls) and (
+        max_results is None or len(results) < max_results
+    ):
+        _, url = outstanding.pop(0)
+        scraped.add(url)
+        visit_order.append(url)
+        html = inner._fetch(url, res, cache, clock, next_allowed, 1) or ""
+        if html:
+            for item in extract_fn(html):
+                if item not in results:
+                    results.append(item)
+                    if len(results) == max_results:
+                        break
+            for link in inner._crawl_links(url, html, res, cache):
+                if urlparse(link).netloc == netloc and link not in scraped:
+                    score = link_score(link)
+                    for i, (other_score, _) in enumerate(outstanding):
+                        if score < other_score:
+                            outstanding.insert(i, (score, link))
+                            break
+                    else:
+                        outstanding.append((score, link))
+    return results, visit_order
+
+
 class SequentialOracle:
     """threaded_get(num_threads=1) + CrawlerCallback over a dict store."""
 

@@ -221,6 +221,24 @@ def site_redirect_error(domain: str = "redir.com") -> list[dict]:
     return pages
 
 
+def site_scored(domain: str = "scored.com") -> list[dict]:
+    """Best-first fixture: seed links to contact/about/help/generic pages
+    (link_score ladder, download.py:1062-1078) each embedding an email."""
+    seed = f"http://{domain}/"
+    names = ["products", "contact-us", "about-team"]
+    links = [f"http://{domain}/{n}.php" for n in names]
+    pages = [make_page(seed, links)]
+    for n, u in zip(names, links):
+        pages.append(
+            make_page(
+                u,
+                [],
+                extra_html=f"<p>reach us at {n.replace('-', '.')}@{domain}</p>",
+            )
+        )
+    return pages
+
+
 FIXTURES = {
     "chain": site_chain,
     "tree": site_tree,
