@@ -198,9 +198,15 @@ class ExactSeenSet:
         """
         return candidates.join(self.df, candidates[on] == self.df["url_hash"], "left_anti")
 
-    def add(self, new: DataFrame) -> "ExactSeenSet":
+    def add(self, new: DataFrame, assume_new: bool = False) -> "ExactSeenSet":
         """Union new (url_hash, depth) rows, keeping min depth per hash
-        (first-discovery depth wins — download.py:1041-1042)."""
+        (first-discovery depth wins — download.py:1041-1042).
+
+        ``assume_new=True`` skips the min-depth shuffle — correct whenever
+        the caller guarantees the keys are absent (the crawl loop anti-joins
+        before claiming, so claimed keys are new by construction)."""
+        if assume_new:
+            return ExactSeenSet(self.df.unionByName(new.select("url_hash", "depth")))
         merged = (
             self.df.unionByName(new.select("url_hash", "depth"))
             .groupBy("url_hash")

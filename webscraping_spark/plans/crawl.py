@@ -199,12 +199,11 @@ class CrawlJob:
                 if cfg.use_bloom_prefilter
                 else None
             )
-            self._fetched = self.spark.createDataFrame([], "url_hash long")
+            self._visited_urls: set[str] = set()
             self._visit_idx = 0
         frontier = self._frontier.push(self.seed_candidates(seeds))
         found = self._found
         bloom = self._bloom
-        fetched = self._fetched
         visit_idx = self._visit_idx
         batch_size = 1 if cfg.mode == ORDER_DFS else cfg.batch_size
         # queue size is maintained arithmetically (Queue.size parity,
@@ -238,8 +237,19 @@ class CrawlJob:
                 visit_idx += 1
 
             # ---- fetch stage: resolve batch against the page store --------
+            # cache-hit classification is driver-side: the engine already
+            # holds the visit log (pull batches are collected for ordering),
+            # so "seen this url before" is a Python set probe — no `fetched`
+            # DataFrame state, no extra anti-join job. Cache hits only occur
+            # on re-visits (e.g. a re-queued seed), which are rare and small.
+            miss_rows = [r for r in all_rows if r["url"] not in self._visited_urls]
+            self._visited_urls.update(r["url"] for r in all_rows)
             resolved = batch.join(self.store, "url", "left")
-            cache_misses = resolved.join(fetched, "url_hash", "left_anti")
+            if len(miss_rows) == len(all_rows):
+                cache_misses = resolved
+            else:
+                miss_df = self.spark.createDataFrame(miss_rows, batch.schema)
+                cache_misses = miss_df.join(self.store, "url", "left")
 
             # ---- politeness plan (misses only — cache hits don't fetch) ---
             planned, self._domain_state = politeness.plan_schedule(
@@ -267,8 +277,6 @@ class CrawlJob:
             n_cache = len(rows) - n_miss
             self.metrics.planned_makespan_sec += agg["makespan"] or 0.0
 
-            fetched = fetched.unionByName(cache_misses.select("url_hash"))
-
             # ---- link extraction + claim + push ---------------------------
             extracted = self._extract_links(resolved)
             # _claim_and_cap pins its result internally; `claimed` is a
@@ -276,7 +284,8 @@ class CrawlJob:
             claimed = self._claim_and_cap(extracted, found, bloom)
 
             found = found.add(
-                claimed.select(F.col("link_hash").alias("url_hash"), "depth")
+                claimed.select(F.col("link_hash").alias("url_hash"), "depth"),
+                assume_new=True,  # claims were anti-joined against `found`
             )
             if bloom is not None:
                 bloom = bloom.add(claimed.select(F.col("link_hash").alias("url_hash")))
@@ -305,7 +314,6 @@ class CrawlJob:
                     frontier.pull_counter,
                 )
                 found = ExactSeenSet(found.df.localCheckpoint())
-                fetched = fetched.distinct().localCheckpoint()
                 if bloom is not None:
                     bloom = BloomSeenSet(
                         bloom.state.localCheckpoint(), bloom.P, bloom.m, bloom.k
@@ -335,7 +343,7 @@ class CrawlJob:
             if self.metrics.queue_size == 0:
                 break
         self._frontier, self._found, self._bloom = frontier, found, bloom
-        self._fetched, self._visit_idx = fetched, visit_idx
+        self._visit_idx = visit_idx
         self.final_frontier = frontier
         self.final_found = found
         return self.metrics
@@ -365,7 +373,7 @@ class CrawlJob:
         if ds is not None:
             self._domain_state = ds
         self._bloom = None
-        self._fetched = self.spark.createDataFrame([], "url_hash long")
+        self._visited_urls = set()
         self._visit_idx = manifest["lineage"]["visit_idx"]
         state = catalog.load_state()
         if state:
