@@ -152,3 +152,41 @@ def job_frontier_urls(job):
     # the final frontier DF isn't retained on the job; reconstruct from the
     # visit log + queued rows is overkill — expose via last pushed frontier
     return job.final_frontier.df.select("url").collect()
+
+
+class TestRetrySemantics:
+    """In-visit retry budget (download.py:227-251): flaky pages succeed
+    within budget (their links discovered), permanent errors burn the whole
+    budget; attempt-level error counters match the sequential model."""
+
+    def run_retry(self, spark, num_retries):
+        pages = synth.site_flaky()
+        oracle = SequentialOracle(
+            {p["url"]: p for p in pages},
+            OracleConfig(max_depth=None, num_retries=num_retries),
+        )
+        exp = oracle.run([pages[0]["url"]])
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, num_retries=num_retries),
+        )
+        job.run([pages[0]["url"]])
+        return exp, job
+
+    def test_budget_covers_flaky(self, spark):
+        exp, job = self.run_retry(spark, num_retries=2)
+        got = [u for u, _ in job.visit_log]
+        assert got == exp.visit_order
+        assert any(u.endswith("/child") for u in got)  # link found on retry success
+        assert job.metrics.num_downloads == exp.num_downloads == 3
+        # flaky contributes 2 failed attempts; dead burns 3
+        assert job.metrics.num_errors == exp.num_errors == 5
+
+    def test_budget_too_small(self, spark):
+        exp, job = self.run_retry(spark, num_retries=1)
+        got = [u for u, _ in job.visit_log]
+        assert got == exp.visit_order
+        assert not any(u.endswith("/child") for u in got)  # never succeeded
+        assert job.metrics.num_downloads == exp.num_downloads == 1  # seed only
+        assert job.metrics.num_errors == exp.num_errors == 4  # flaky 2 + dead 2

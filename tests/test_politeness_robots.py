@@ -116,3 +116,49 @@ class TestRobotsGate:
         )
         allowed = {r["url"] for r in R.robots_gate(cands, rules, "bot").collect()}
         assert allowed == {"http://a.com/dir/open/f"}
+
+
+class TestRobotsTxtParser:
+    """parse_robots_txt vs urllib.robotparser on the same inputs."""
+
+    ROBOTS = """
+# comment line
+User-agent: *
+Disallow: /private
+Allow: /private/open
+
+User-agent: goodbot
+Disallow:
+
+User-agent: badbot
+Disallow: /
+"""
+
+    def test_rows(self):
+        from webscraping_spark.operators.robots import parse_robots_txt
+
+        rows = parse_robots_txt("a.com", self.ROBOTS)
+        assert ("a.com", "*", "disallow", "/private", 0) in rows
+        assert ("a.com", "*", "allow", "/private/open", 1) in rows
+        assert ("a.com", "goodbot", "allow", "", 2) in rows
+        assert ("a.com", "badbot", "disallow", "/", 3) in rows
+
+    def test_gate_matches_robotparser(self, spark):
+        import urllib.robotparser
+
+        from webscraping_spark.operators.robots import robots_gate, robots_table
+
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(self.ROBOTS.splitlines())
+        rules = robots_table(spark, {"a.com": self.ROBOTS})
+        urls = [
+            "http://a.com/public/x",
+            "http://a.com/private/y",
+            "http://a.com/private/open/z",
+            "http://a.com/",
+        ]
+        cands = spark.createDataFrame([(u, "a.com") for u in urls], "url string, domain string")
+        for agent in ("somebot", "badbot", "goodbot"):
+            allowed = {r["url"] for r in robots_gate(cands, rules, agent).collect()}
+            expected = {u for u in urls if rp.can_fetch(agent, u)}
+            assert allowed == expected, f"agent={agent}"

@@ -26,6 +26,53 @@ from pyspark.sql import functions as F
 ROBOTS_SCHEMA = "domain string, agent string, rule string, path_prefix string, order int"
 
 
+def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, int]]:
+    """Parse robots.txt content into ROBOTS_SCHEMA rows.
+
+    Follows urllib.robotparser's reading of the format: ``User-agent``
+    lines open a section (consecutive agent lines share the following
+    rules), ``Allow``/``Disallow`` lines append rules in file order, ``#``
+    comments and unknown directives are ignored, and an empty Disallow
+    value means allow-all (recorded as an allow with empty prefix).
+    """
+    rows: list[tuple[str, str, str, str, int]] = []
+    agents: list[str] = []
+    expecting_agents = True
+    order = 0
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not expecting_agents:
+                agents = []
+                expecting_agents = True
+            agents.append(value)
+        elif key in ("allow", "disallow"):
+            expecting_agents = False
+            if not agents:
+                continue
+            rule = "allow" if key == "allow" else "disallow"
+            if key == "disallow" and value == "":
+                rule, value = "allow", ""
+            for agent in agents:
+                rows.append((domain, agent, rule, value, order))
+            order += 1
+    return rows
+
+
+def robots_table(spark, per_domain_texts: dict[str, str]):
+    """Build the broadcastable rules DataFrame from raw robots.txt bodies."""
+    rows = [
+        row for domain, text in per_domain_texts.items()
+        for row in parse_robots_txt(domain, text)
+    ]
+    return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+
+
 def robots_gate(
     candidates: DataFrame,
     robots: DataFrame,

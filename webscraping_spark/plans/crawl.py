@@ -61,6 +61,7 @@ class CrawlConfig:
     banned_urls: str = "^$"
     user_agent: str = "wswp"
     crawl_existing: bool = True
+    num_retries: int = 0  # in-visit retry budget (download.py:227-251)
     delay: float = 5.0  # politeness (download.py:130)
     variance: float = 0.5
     seed: int = 42
@@ -132,7 +133,19 @@ class CrawlJob:
         619-624): one redirect level resolved, matching num_redirects=1.
         """
         p = pages.select(
-            "url", "final_url", "status_code", "html", "fmt", "bytes", "caption", "w", "h", "phash"
+            "url",
+            "final_url",
+            "status_code",
+            "html",
+            "fmt",
+            "bytes",
+            "caption",
+            "w",
+            "h",
+            "phash",
+            F.coalesce(
+                F.element_at(F.col("meta"), F.lit("succeed_after")).cast("int"), F.lit(0)
+            ).alias("succeed_after"),
         )
         target = p.select(
             F.col("url").alias("_t_url"), F.col("html").alias("_t_html")
@@ -245,11 +258,35 @@ class CrawlJob:
             miss_rows = [r for r in all_rows if r["url"] not in self._visited_urls]
             self._visited_urls.update(r["url"] for r in all_rows)
             resolved = batch.join(self.store, "url", "left")
+            # in-visit retry model (download.py:227-251): the retry loop is
+            # deterministic against the page store, so attempt accounting is
+            # a closed-form expression — a flaky page (succeed_after=k)
+            # succeeds iff the budget allows attempt k+1, contributing k
+            # failed attempts; a permanent error burns the whole budget.
+            flaky_success = (F.col("succeed_after") > 0) & (
+                F.col("succeed_after") <= cfg.num_retries
+            )
+            serve_ok = F.col("serve_html").isNotNull() & (
+                (F.col("status_code") < 400) | flaky_success
+            )
+            attempt_errors = (
+                F.when(F.col("serve_html").isNull(), F.lit(cfg.num_retries + 1))
+                .when(F.col("status_code") < 400, F.lit(0))
+                .when(flaky_success, F.col("succeed_after"))
+                .otherwise(F.lit(cfg.num_retries + 1))
+            )
+            resolved = resolved.withColumn("serve_ok", serve_ok).withColumn(
+                "_attempt_errors", attempt_errors
+            )
             if len(miss_rows) == len(all_rows):
                 cache_misses = resolved
             else:
                 miss_df = self.spark.createDataFrame(miss_rows, batch.schema)
-                cache_misses = miss_df.join(self.store, "url", "left")
+                cache_misses = (
+                    miss_df.join(self.store, "url", "left")
+                    .withColumn("serve_ok", serve_ok)
+                    .withColumn("_attempt_errors", attempt_errors)
+                )
 
             # ---- politeness plan (misses only — cache hits don't fetch) ---
             planned, self._domain_state = politeness.plan_schedule(
@@ -262,18 +299,13 @@ class CrawlJob:
             # single fused metrics pass: miss count, ok count, makespan
             agg = planned.agg(
                 F.count("*").alias("n_miss"),
-                F.sum(
-                    F.when(
-                        F.col("serve_html").isNotNull()
-                        & ~F.col("status_code").isin(404, 500),
-                        1,
-                    ).otherwise(0)
-                ).alias("ok"),
+                F.sum(F.when(F.col("serve_ok"), 1).otherwise(0)).alias("ok"),
+                F.sum("_attempt_errors").alias("errors"),
                 F.max("scheduled_offset").alias("makespan"),
             ).first()
             n_miss = agg["n_miss"] or 0
             n_ok = agg["ok"] or 0
-            n_err = n_miss - n_ok
+            n_err = agg["errors"] or 0
             n_cache = len(rows) - n_miss
             self.metrics.planned_makespan_sec += agg["makespan"] or 0.0
 
@@ -415,7 +447,7 @@ class CrawlJob:
     def _extract_links(self, resolved: DataFrame) -> DataFrame:
         """Per-page ordered links with validity flags (all vectorized)."""
         cfg = self.cfg
-        pages = resolved.filter(F.col("serve_html").isNotNull())
+        pages = resolved.filter(F.col("serve_ok"))
         if cfg.max_depth is not None:
             pages = pages.filter(F.col("depth") != cfg.max_depth)
         links = pages.select(

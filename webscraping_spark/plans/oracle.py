@@ -60,6 +60,7 @@ class OracleConfig:
     user_agent: str = "wswp"
     crawl_existing: bool = True
     num_redirects: int = 1
+    num_retries: int = 0
     delay: float = 5.0
     variance: float = 0.5
 
@@ -168,10 +169,21 @@ class SequentialOracle:
         next_allowed[domain] = t + cfg.delay  # oracle uses mean delay (jitter unpinned by doctests)
         clock[0] = t
         page = self.pages.get(url)
-        if page is None or page["status_code"] in (404, 500):
-            res.num_errors += 1
+        if page is None:
+            # missing page: the whole retry budget burns (download.py:227-251:
+            # while num_retries >= 0 and html is None)
+            res.num_errors += cfg.num_retries + 1
             cache[url] = ""
             return None
+        if page["status_code"] >= 400:
+            succeed_after = int(page.get("meta", {}).get("succeed_after", "0"))
+            if 0 < succeed_after <= cfg.num_retries:
+                # flaky page: attempt succeed_after+1 succeeds
+                res.num_errors += succeed_after
+            else:
+                res.num_errors += cfg.num_retries + 1
+                cache[url] = ""
+                return None
         res.num_downloads += 1
         html = page["html"]
         # 301: urllib follows transparently; content is the target's

@@ -64,6 +64,7 @@ def make_page(
     final_url: str | None = None,
     redirect_to: str | None = None,
     extra_html: str = "",
+    succeed_after: int = 0,
 ) -> dict:
     """One synthetic page: HTML with ordered <a href> links, a caption
     paragraph the normalize/xpath kernel can extract, and an encoded image
@@ -101,7 +102,13 @@ def make_page(
         "final_url": final,
         "status_code": status_code,
         "html": html,
-        "meta": {"url": final, "status": str(status_code)},
+        "meta": {
+            "url": final,
+            "status": str(status_code),
+            # flaky pages: fetch attempt > succeed_after succeeds
+            # (drives the retry-state path, download.py:227-251)
+            "succeed_after": str(succeed_after),
+        },
     }
 
 
@@ -219,6 +226,22 @@ def site_redirect_error(domain: str = "redir.com") -> list[dict]:
         make_page(flaky, [], status_code=500),
     ]
     return pages
+
+
+def site_flaky(domain: str = "flaky.com") -> list[dict]:
+    """Retry fixture: a page that 503s twice then succeeds (with a child
+    link that must be discovered on the successful attempt), plus a
+    permanent 500 (budget burns, no links)."""
+    seed = f"http://{domain}/seed"
+    flaky = f"http://{domain}/flaky"
+    child = f"http://{domain}/child"
+    dead = f"http://{domain}/dead"
+    return [
+        make_page(seed, [flaky, dead]),
+        make_page(flaky, [child], status_code=503, succeed_after=2),
+        make_page(child, []),
+        make_page(dead, [], status_code=500),
+    ]
 
 
 def site_scored(domain: str = "scored.com") -> list[dict]:
