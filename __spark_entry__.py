@@ -325,6 +325,24 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(emb, list(qvec), k=10, n_planes=8, probe_hamming=1)
 
 
+def q_ann_topk_subset(spark, sf_dir):
+    """ANN quality gate with a hard oracle: the ids ann_topk returns, MINUS
+    the exact brute-force top-50 (computed independently in Spark), must be
+    the EMPTY set — the SQL oracle encodes 'empty' literally. Any ANN
+    result outside the exact top-50 ball hash-mismatches the driver check.
+    (Recall evidence — |ann ∩ exact top-k| — lives in pytest, where the
+    non-SQL-expressible LSH can be compared directly.)"""
+    from webscraping_spark.operators.similarity import ann_topk, cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ann = ann_topk(emb, list(qvec), k=10, n_planes=8, probe_hamming=2)
+    exact_ball = cosine_topk(emb, list(qvec), k=50)
+    return ann.select("vec_id").join(
+        exact_ball.select("vec_id"), "vec_id", "left_anti"
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     from webscraping_spark.operators.textstats import fingerprint
 
@@ -406,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
     }
@@ -570,5 +589,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    arg_max(doc_id, n_chars * 10000000 + doc_id) AS top_doc_id
             FROM documents GROUP BY source
+        """,
+        "ann_topk_subset": """
+            -- contract: ann_topk(k=10, probe_hamming=2) returns ONLY ids
+            -- inside the exact cosine top-50 ball; the Spark side computes
+            -- the set difference, which must be empty
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
     }

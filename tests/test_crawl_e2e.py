@@ -114,6 +114,21 @@ class TestDfsParity:
         assert [u for u, _ in dfs_job.visit_log] == dfs_exp.visit_order
 
 
+class TestClaimKeyUniqueness:
+    def test_requeued_seed_batch_one(self, spark):
+        """With frontier_dedup=False two unclaimed rows can share url_hash
+        (seed B still queued while A's link-back re-queues B). Claiming one
+        must not mark both (round-1 ADVICE: claim joined on url_hash alone,
+        silently dropping the second visit)."""
+        a, b = "http://two.com/a", "http://two.com/b"
+        pages = [synth.make_page(a, [b]), synth.make_page(b, [])]
+        exp, job = run_both(spark, pages, [a, b], batch_size=1, max_depth=None)
+        got = [u for u, _ in job.visit_log]
+        assert exp.visit_order == [a, b, b]
+        assert got == exp.visit_order
+        assert job.metrics.num_caches == exp.num_caches == 1
+
+
 class TestSeenSetParity:
     def test_found_membership_matches(self, spark):
         pages = synth.site_tree(branching=3, depth=2)

@@ -87,6 +87,28 @@ class TestDedupFamily:
         assert (0, 1) in got and got[(0, 1)] > 0.99
         assert len(got) == 1  # random pairs stay below threshold
 
+    def test_embedding_near_dupes_lsh_matches_exact(self, spark):
+        """The default (bucketed) path must recover the exact path's pairs
+        on planted near-dups, and its plan must contain no CartesianProduct."""
+        rng = np.random.default_rng(23)
+        vecs = rng.standard_normal((60, 16)).astype(np.float32)
+        for i in (1, 2, 3):  # plant 3 near-dups of vec 0
+            vecs[i] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.02
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dupes(emb, threshold=0.98, exact=True).collect()
+        }
+        lsh = dedup.embedding_near_dupes(emb, threshold=0.98)
+        lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+        assert exact_pairs >= {(0, 1), (0, 2), (0, 3)}
+        assert lsh_pairs <= exact_pairs  # scoring is exact: no false pairs
+        assert lsh_pairs >= {(0, 1), (0, 2), (0, 3)}  # planted dups recovered
+        plan = lsh._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestSimilaritySearch:
     def make_emb(self, spark, n=300, d=24):
@@ -116,16 +138,35 @@ class TestSimilaritySearch:
         rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         exact = {r["vec_id"] for r in similarity.cosine_topk(emb, list(q), k=10).collect()}
-        approx = {
-            r["vec_id"]
-            for r in similarity.ann_topk(emb, list(q), k=10, n_planes=8, probe_hamming=2).collect()
-        }
+        approx_rows = similarity.ann_topk(
+            emb, list(q), k=10, n_planes=8, probe_hamming=2
+        ).collect()
+        approx = {r["vec_id"] for r in approx_rows}
+        # k results must come back in full (round-1 bug: the probe loop
+        # shadowed k, silently truncating to n_planes-1 results)
+        assert len(approx_rows) == 10
         recall = len(exact & approx) / len(exact)
         assert 0 in approx  # the query vector itself is its own top hit
         # sign-LSH is boundary-sensitive: a neighbor whose projection sits
-        # near a hyperplane can land across it, so recall is statistical,
-        # not exact — 2-bit multiprobe keeps it comfortably above 0.6 here
-        assert recall >= 0.6
+        # near a hyperplane can land across it, so recall is statistical —
+        # but with the full 2-bit multiprobe (37/256 buckets) the planted
+        # cluster is found nearly in full
+        assert recall >= 0.8
+
+    def test_ann_returns_k_at_every_probe_level(self, spark):
+        emb, vecs = self.make_emb(spark, n=400)
+        q = vecs[0]
+        for probe in (0, 1, 2):
+            rows = similarity.ann_topk(
+                emb, list(q), k=10, n_planes=8, probe_hamming=probe
+            ).collect()
+            # candidate pool shrinks with fewer probes but must never be
+            # silently truncated below min(k, |candidates|); at probe>=1
+            # the pool comfortably exceeds k on 400 random vectors
+            if probe >= 1:
+                assert len(rows) == 10, f"probe_hamming={probe}"
+            else:
+                assert 1 <= len(rows) <= 10
 
 
 class TestTextStats:

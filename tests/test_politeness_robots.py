@@ -162,3 +162,38 @@ Disallow: /
             allowed = {r["url"] for r in robots_gate(cands, rules, agent).collect()}
             expected = {u for u in urls if rp.can_fetch(agent, u)}
             assert allowed == expected, f"agent={agent}"
+
+    ROBOTS_EXACT_NO_MATCH = """
+User-agent: specificbot
+Disallow: /foo
+
+User-agent: *
+Disallow: /
+"""
+
+    def test_exact_section_shadows_star_even_without_match(self, spark):
+        """urllib consults ONE section: when an exact-agent section exists,
+        '*' rules never decide — even for paths the exact section doesn't
+        mention (round-1 wrong-answer case: engine used to let the '*'
+        disallow-all win for specificbot on /bar)."""
+        import urllib.robotparser
+
+        from webscraping_spark.operators.robots import robots_gate, robots_table
+
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(self.ROBOTS_EXACT_NO_MATCH.splitlines())
+        rules = robots_table(spark, {"a.com": self.ROBOTS_EXACT_NO_MATCH})
+        urls = ["http://a.com/bar", "http://a.com/foo/x", "http://a.com/"]
+        cands = spark.createDataFrame(
+            [(u, "a.com") for u in urls], "url string, domain string"
+        )
+        for agent in ("specificbot", "otherbot"):
+            allowed = {r["url"] for r in robots_gate(cands, rules, agent).collect()}
+            expected = {u for u in urls if rp.can_fetch(agent, u)}
+            assert allowed == expected, f"agent={agent}"
+        # the headline case explicitly: exact section exists, no prefix
+        # matches /bar -> allowed (the '*' Disallow: / must not fire)
+        allowed = {
+            r["url"] for r in robots_gate(cands, rules, "specificbot").collect()
+        }
+        assert "http://a.com/bar" in allowed

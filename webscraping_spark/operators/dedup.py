@@ -263,17 +263,7 @@ def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dupes(
-    embeddings: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Cosine-similar pairs above threshold.
-
-    Brute-force block self-join (exact). At scale, pre-bucket with the
-    similarity module's LSH and feed buckets here.
-    """
+def _normalized_vectors(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
@@ -281,22 +271,75 @@ def embedding_near_dupes(
             lambda acc, x: acc + x * x,
         )
     )
-    e = embeddings.select(
+    return embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         norm.alias("nrm"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
+
+
+def _pair_cosine():
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    return dot / (F.col("a.nrm") * F.col("b.nrm"))
+
+
+def embedding_near_dupes(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine-similar pairs above threshold.
+
+    Default path (the one that survives 100 TB): hyperplane-LSH bucket the
+    vectors into ``n_tables`` independent hash tables, generate candidate
+    pairs only WITHIN a (table, bucket) — an equi self-join, no
+    CartesianProduct — then score candidates exactly and filter. Recall for
+    cosine >= 0.95 at (8 planes, 8 tables) is ~0.99: P[pair shares a
+    bucket in one table] = (1 - acos(cos)/pi)^n_planes ~= 0.43, and
+    1 - (1 - 0.43)^8 ~= 0.99.
+
+    ``exact=True`` is the all-pairs crossJoin escape hatch — the bounded-
+    input oracle the LSH path's recall is tested against.
+    """
+    e = _normalized_vectors(embeddings, id_col, vec_col)
+    if exact:
+        return (
+            e.alias("a")
+            .crossJoin(e.alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .withColumn("cosine", _pair_cosine())
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        )
+    from webscraping_spark.operators.similarity import hyperplane_lsh_bucket_tables
+
+    buckets = hyperplane_lsh_bucket_tables(
+        embeddings, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    pairs = (
+        x.join(y, ["table", "bucket"])
+        .filter(F.col("x." + id_col) < F.col("y." + id_col))
+        .select(
+            F.col("x." + id_col).alias("id_a"), F.col("y." + id_col).alias("id_b")
+        )
+        .distinct()  # a pair can collide in several tables — score it once
+    )
     return (
-        a.crossJoin(b)
-        .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        pairs.join(e.select(F.col("id").alias("id_a"), F.struct("v", "nrm").alias("a")), "id_a")
+        .join(e.select(F.col("id").alias("id_b"), F.struct("v", "nrm").alias("b")), "id_b")
+        .withColumn("cosine", _pair_cosine())
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

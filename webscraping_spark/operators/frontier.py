@@ -120,9 +120,12 @@ class Frontier:
         counter = self.pull_counter + 1
         queued = self.df.filter(F.col("status") == 0)
         batch = queued.orderBy(*_pull_order(mode)).limit(limit)
-        claimed = batch.select("url_hash").withColumn("_claim", F.lit(counter))
+        # claim by the unique row key (url_hash, seq) — with dedup=False the
+        # frontier can hold two unclaimed rows sharing url_hash (a seed
+        # re-queued by a link-back), and claiming one must not mark both
+        claimed = batch.select("url_hash", "seq").withColumn("_claim", F.lit(counter))
         updated = (
-            self.df.join(F.broadcast(claimed), "url_hash", "left")
+            self.df.join(F.broadcast(claimed), ["url_hash", "seq"], "left")
             .withColumn("status", F.coalesce(F.col("_claim"), F.col("status")))
             .drop("_claim")
         )

@@ -95,11 +95,16 @@ def robots_gate(
     )
     cand = candidates.withColumn("_path", F.when(path == "", "/").otherwise(path))
 
-    applicable = robots.filter(
-        (F.col("agent") == user_agent) | (F.col("agent") == "*")
-    ).withColumn(
-        "_specificity", F.when(F.col("agent") == user_agent, 0).otherwise(1)
+    # urllib.robotparser consults exactly ONE section per domain: the
+    # exact-agent section when it exists, else the '*' section. A '*' rule
+    # must never decide for a domain that has any exact-agent rows — even
+    # when none of the exact section's prefixes match the path (no match in
+    # the selected section means allowed).
+    exact = robots.filter(F.col("agent") == user_agent)
+    star = robots.filter(F.col("agent") == "*").join(
+        exact.select("domain").distinct(), "domain", "left_anti"
     )
+    applicable = exact.unionByName(star)
 
     joined = cand.join(F.broadcast(applicable), "domain", "left")
     matches = joined.withColumn(
@@ -110,10 +115,11 @@ def robots_gate(
             | F.col("_path").startswith(F.col("path_prefix"))
         ),
     )
-    # winner per URL: min (specificity, order) among hits; NULL if none
+    # winner per URL: first-matching rule in file order within the selected
+    # section; NULL if none matched
     verdict = matches.groupBy(*[F.col(c) for c in candidates.columns]).agg(
         F.min_by(
-            F.col("rule"), F.when(F.col("_hit"), F.struct("_specificity", "order"))
+            F.col("rule"), F.when(F.col("_hit"), F.col("order"))
         ).alias("_winning_rule")
     )
     allowed = verdict.filter(

@@ -273,8 +273,14 @@ class BloomSeenSet:
         ).unionByName(state_rows)
         merged = unioned.groupBy("partition").applyInPandas(build, SEEN_SCHEMA)
         # filter state is tiny (P rows) and re-read by every probe: pin it
-        # so probes don't rebuild the filters from the raw hashes
+        # so probes don't rebuild the filters from the raw hashes.
+        # Materialize eagerly (P rows — one cheap job), then drop the prior
+        # generation's cache: without the unpersist the crawl loop leaks one
+        # cached P-row frame (with filter bytes) per superstep.
         merged = merged.persist()
+        merged.count()
+        if self.state.is_cached:
+            self.state.unpersist()
         return BloomSeenSet(merged, self.P, self.m, self.k)
 
     def might_contain(self, candidates: DataFrame, on: str = "url_hash") -> DataFrame:

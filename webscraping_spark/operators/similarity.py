@@ -84,6 +84,48 @@ def hyperplane_lsh_buckets(
     return embeddings.select(id_col, vec_col).mapInPandas(project, out_schema)
 
 
+def hyperplane_lsh_bucket_tables(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): one sign-pattern bucket per hash table.
+
+    Multiple independent tables are the standard recall amplifier for
+    hyperplane LSH — a near-dup pair missed by one table's split is caught
+    by another (P[miss all T tables] = (1 - p^b)^T). All T projections run
+    in ONE mapInPandas matmul over a (dim, n_planes*n_tables) matrix, so
+    the cost of extra tables is a wider gemm, not extra scans.
+    """
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes * n_tables)).astype(np.float64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    out_schema = f"{id_col} long, table int, bucket long"
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = ((mat @ planes) > 0).astype(np.int64)
+            n = len(pdf)
+            ids = np.repeat(pdf[id_col].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            # (n, T, b) -> bucket id per table
+            buckets = (signs.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {id_col: ids, "table": tables, "bucket": buckets.reshape(-1)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -115,8 +157,8 @@ def ann_topk(
             probes.add(qbucket ^ (1 << j))
     if probe_hamming >= 2:
         for j in range(n_planes):
-            for k in range(j + 1, n_planes):
-                probes.add(qbucket ^ (1 << j) ^ (1 << k))
+            for j2 in range(j + 1, n_planes):
+                probes.add(qbucket ^ (1 << j) ^ (1 << j2))
     buckets = hyperplane_lsh_buckets(embeddings, n_planes, seed, id_col, vec_col)
     candidates = embeddings.join(
         buckets.filter(F.col("bucket").isin(list(probes))).select(id_col),

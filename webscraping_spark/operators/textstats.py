@@ -68,9 +68,10 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language guess: argmax over per-language hit rates.
 
-    Returns (id, lang_guess, lang_score). greatest()-ladder keeps it in
-    codegen; ties resolve to the lexicographically-first language for
-    determinism.
+    Returns (id, lang_guess, lang_score). The array_max over
+    struct(score, lang) keeps it in codegen; ties resolve to the
+    lexicographically-GREATEST language (struct comparison falls through to
+    the lang field), deterministically.
     """
     t = F.col(text_col)
     scores = [
