@@ -147,6 +147,69 @@ def q_retry_routing(spark, sf_dir):
     )
 
 
+def q_cache_merge_keep_target(spark, sf_dir):
+    """SURVEY §2.7 cache merge (PersistentDict.merge, pdict.py:249-255):
+    keys already in the target keep the TARGET row; only absent keys copy
+    over from the source."""
+    from webscraping_spark.sources.snapshots import merge_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.lit("target").alias("side")
+    )
+    source = docs.filter(F.col("doc_id") >= 200).select(
+        "doc_id", F.lit("source").alias("side")
+    )
+    return merge_tables(target, source, key="doc_id")
+
+
+def q_proxy_consec_errors(spark, sf_dir):
+    """SURVEY §2.4 proxy performance (ProxyPerformance, download.py:51-68):
+    consecutive-error counts over an ordered fetch log, success resets."""
+    from webscraping_spark.operators.proxies import consecutive_errors
+
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 5).cast("string")).alias("proxy"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return consecutive_errors(log).select(
+        "seq", "proxy", F.col("consec_errors").cast("long").alias("consec_errors")
+    )
+
+
+def q_charset_decode_roundtrip(spark, sf_dir):
+    """SURVEY §2.2 html_to_unicode (common.py:109-116): encode each doc to
+    tagged bytes, decode through the sniffing UDF, assert round-trip."""
+    from webscraping_spark.functions.decode import html_to_unicode_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    tagged = F.concat(F.lit("<meta charset=utf-8>"), F.col("text"))
+    raw = F.encode(tagged, "UTF-8")
+    return docs.select(
+        "doc_id", (html_to_unicode_udf(raw) == tagged).alias("ok")
+    )
+
+
+def q_cache_ttl_filter(spark, sf_dir):
+    """SURVEY §2.3 TTL freshness predicate (pdict.py:202-205 is_fresh:
+    now - updated < expires). events.ts plays fetched_at; 'now' is the max
+    timestamp; entries older than a 7-day TTL are the stale set a cache
+    read would re-fetch. Pure timestamp-interval arithmetic (ts arrives as
+    TIMESTAMP_NTZ): no epoch conversion, so no session-timezone exposure on
+    either engine."""
+    e = _t(spark, sf_dir, "events").select("event_id", F.col("ts").alias("t"))
+    now = e.agg(F.max("t").alias("now"))
+    return (
+        e.crossJoin(F.broadcast(now))
+        .withColumn(
+            "is_fresh", (F.col("now") - F.col("t")) < F.expr("INTERVAL 7 DAY")
+        )
+        .select("event_id", "is_fresh")
+    )
+
+
 def q_url_canonicalize(spark, sf_dir):
     """SURVEY §2.2 THE canonicalization kernel (download.py:987-1004) —
     pandas UDF vs hand-derived canonical form in SQL."""
@@ -407,6 +470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_dedup_first": q_ordered_dedup_first,
         "link_cap_slice": q_link_cap_slice,
         "retry_routing": q_retry_routing,
+        "cache_merge_keep_target": q_cache_merge_keep_target,
+        "proxy_consec_errors": q_proxy_consec_errors,
+        "charset_decode_roundtrip": q_charset_decode_roundtrip,
+        "cache_ttl_filter": q_cache_ttl_filter,
         "url_canonicalize": q_url_canonicalize,
         "domain_extract": q_domain_extract,
         "media_ext_gate": q_media_ext_gate,
@@ -482,6 +549,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'skip' END AS route,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "cache_merge_keep_target": """
+            SELECT doc_id, 'target' AS side FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id, 'source' AS side FROM documents
+            WHERE doc_id >= 200
+              AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id < 300)
+        """,
+        "proxy_consec_errors": """
+            WITH log AS (
+                SELECT 'p' || (user_id % 5) AS proxy, event_id AS seq,
+                       event_type <> 'error' AS ok
+                FROM events
+            ), g AS (
+                SELECT proxy, seq, ok,
+                       sum(CASE WHEN ok THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY proxy ORDER BY seq
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+                FROM log
+            )
+            SELECT seq, proxy,
+                   (CASE WHEN ok THEN 0
+                         ELSE sum(CASE WHEN ok THEN 0 ELSE 1 END)
+                              OVER (PARTITION BY proxy, grp ORDER BY seq
+                                    ROWS UNBOUNDED PRECEDING) END)::BIGINT
+                       AS consec_errors
+            FROM g
+        """,
+        "charset_decode_roundtrip": """
+            SELECT doc_id, true AS ok FROM documents
+        """,
+        "cache_ttl_filter": """
+            SELECT event_id,
+                   ((SELECT max(ts) FROM events) - ts) < INTERVAL 7 DAY
+                       AS is_fresh
+            FROM events
         """,
         "url_canonicalize": """
             SELECT event_id,

@@ -202,7 +202,10 @@ def run_headline_queries(spark, sf_dir: str, timings: dict) -> None:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n = int(os.environ.get("SPARK_GRAFT_BENCH_N", 1_000_000))
+    # 4M default: at 1M rows fixed per-job overhead dominates the headline
+    # (round-1 showed a 5x spread between 1M and 4M runs); 4M amortizes it
+    # while staying under ~2 min at local[32]
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_N", 4_000_000))
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
 
     from webscraping_spark.session import get_spark

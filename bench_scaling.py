@@ -107,16 +107,34 @@ def hw_capacity(cores: int, seconds: float = 12.0) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_N", 1_000_000)))
+    ap.add_argument("--n", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_N", 4_000_000)))
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--sweep",
+        default="1000000,4000000,16000000",
+        help="comma-separated frontier sizes: throughput is reported per size "
+        "so the headline is overhead-robust; efficiency is taken at the "
+        "LARGEST size (fixed per-job overhead shrinks as n grows)",
+    )
     args = ap.parse_args()
 
     pyfiles = build_pyfiles_zip()
-    runs_small = [run_at(args.small, args.n, args.sf_dir, pyfiles) for _ in range(args.repeats)]
-    runs_large = [run_at(args.large, args.n, args.sf_dir, pyfiles) for _ in range(args.repeats)]
+    sweep_ns = sorted({int(x) for x in args.sweep.split(",") if x.strip()} | {args.n})
+    headline_n = max(sweep_ns)
+    sweep_rows = []  # (n, thr_small, thr_large, eff)
+    runs_small: list[dict] = []
+    runs_large: list[dict] = []
+    for n in sweep_ns:
+        reps = args.repeats if n == headline_n else 1
+        rs = [run_at(args.small, n, args.sf_dir, pyfiles) for _ in range(reps)]
+        rl = [run_at(args.large, n, args.sf_dir, pyfiles) for _ in range(reps)]
+        bs, bl = max(r["value"] for r in rs), max(r["value"] for r in rl)
+        sweep_rows.append((n, bs, bl, (bl / bs) / (args.large / args.small) if bs else 0.0))
+        if n == headline_n:
+            runs_small, runs_large = rs, rl
     r_small = max(runs_small, key=lambda r: r["value"])
     r_large = max(runs_large, key=lambda r: r["value"])
     thr_s, thr_l = r_small["value"], r_large["value"]
@@ -140,6 +158,10 @@ def main():
         "all_runs_small": [r["value"] for r in runs_small],
         "all_runs_large": [r["value"] for r in runs_large],
         "frontier_rows": r_large.get("frontier_rows"),
+        "sweep": [
+            {"n": n, f"thr_{args.small}": s, f"thr_{args.large}": l, "eff": round(e, 3)}
+            for n, s, l, e in sweep_rows
+        ],
         "launch": "spark-submit --py-files" if shutil.which("spark-submit") else "python",
     }
     print(json.dumps(summary))
@@ -164,6 +186,19 @@ def main():
         "",
         f"**Scaling efficiency (thr_{args.large} / thr_{args.small}) / {factor:.0f} = "
         f"{efficiency:.3f}** (target >= 0.8: {'PASS' if summary['passes'] else 'FAIL'})",
+        "",
+        "## Row-count sweep (overhead robustness)",
+        "",
+        "Fixed per-job overhead (session + warmup + task launch) dominates",
+        "small frontiers and understates scaling; the sweep shows throughput",
+        "converging as n grows — the headline efficiency is taken at the",
+        "largest size.",
+        "",
+        f"| frontier rows | URLs/sec local[{args.small}] | URLs/sec local[{args.large}] | efficiency |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {n:,} | {s:,.1f} | {l:,.1f} | {e:.3f} |" for n, s, l, e in sweep_rows
+    ] + [
         "",
         "## Hardware ceiling calibration",
         "",

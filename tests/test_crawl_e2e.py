@@ -44,17 +44,17 @@ class TestBfsParity:
     def test_chain(self, spark):
         pages = synth.site_chain(5)
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_depth=None)
-        assert [u for u, _ in job.visit_log] == exp.visit_order
+        assert job.visit_urls() == exp.visit_order
 
     def test_tree_bfs_order(self, spark):
         pages = synth.site_tree(branching=3, depth=2)
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_depth=None)
-        assert [u for u, _ in job.visit_log] == exp.visit_order
+        assert job.visit_urls() == exp.visit_order
 
     def test_diamond_revisits_seed(self, spark):
         pages = synth.site_diamond()
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_depth=None)
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert got == exp.visit_order
         # seed visited twice: D -> A re-queues A (seeds not in `found`)
         assert got.count(pages[0]["url"]) == 2
@@ -64,30 +64,30 @@ class TestBfsParity:
     def test_dirty_links_normalization_and_gates(self, spark):
         pages = synth.site_dirty_links()
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_depth=1)
-        assert [u for u, _ in job.visit_log] == exp.visit_order
+        assert job.visit_urls() == exp.visit_order
         # media/mailto/external links were gated; dupes collapsed
-        visited = {u for u, _ in job.visit_log}
+        visited = set(job.visit_urls())
         assert "http://other-site.net/x" not in visited
         assert not any(u.endswith(".jpg") for u in visited)
 
     def test_link_cap_truncation(self, spark):
         pages = synth.site_link_cap(n_links=30)
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_links=10, max_depth=None)
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert got == exp.visit_order
         assert len(got) == 11  # seed + first 10 links only
 
     def test_redirects_and_errors(self, spark):
         pages = synth.site_redirect_error()
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_depth=None)
-        assert [u for u, _ in job.visit_log] == exp.visit_order
+        assert job.visit_urls() == exp.visit_order
         assert job.metrics.num_errors == exp.num_errors
         assert job.metrics.num_errors == 2  # 404 + 500
 
     def test_max_depth_gate(self, spark):
         pages = synth.site_chain(6)
         exp, job = run_both(spark, pages, [pages[0]["url"]], max_depth=2)
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert got == exp.visit_order
         assert len(got) == 3  # depth 0,1,2 pages visited; depth-2 page not expanded
 
@@ -97,21 +97,21 @@ class TestBfsParity:
         exp, job = run_both(
             spark, pages, [pages[0]["url"]], max_depth=None, batch_size=3
         )
-        assert [u for u, _ in job.visit_log] == exp.visit_order
+        assert job.visit_urls() == exp.visit_order
 
 
 class TestDfsParity:
     def test_tree_dfs_order(self, spark):
         pages = synth.site_tree(branching=2, depth=2)
         exp, job = run_both(spark, pages, [pages[0]["url"]], mode="dfs", max_depth=None)
-        assert [u for u, _ in job.visit_log] == exp.visit_order
+        assert job.visit_urls() == exp.visit_order
 
     def test_dfs_differs_from_bfs(self, spark):
         pages = synth.site_tree(branching=2, depth=2)
         bfs_exp, _ = run_both(spark, pages, [pages[0]["url"]], max_depth=None)
         dfs_exp, dfs_job = run_both(spark, pages, [pages[0]["url"]], mode="dfs", max_depth=None)
         assert bfs_exp.visit_order != dfs_exp.visit_order
-        assert [u for u, _ in dfs_job.visit_log] == dfs_exp.visit_order
+        assert dfs_job.visit_urls() == dfs_exp.visit_order
 
 
 class TestClaimKeyUniqueness:
@@ -123,10 +123,188 @@ class TestClaimKeyUniqueness:
         a, b = "http://two.com/a", "http://two.com/b"
         pages = [synth.make_page(a, [b]), synth.make_page(b, [])]
         exp, job = run_both(spark, pages, [a, b], batch_size=1, max_depth=None)
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert exp.visit_order == [a, b, b]
         assert got == exp.visit_order
         assert job.metrics.num_caches == exp.num_caches == 1
+
+
+class TestRedirectChains:
+    """Multi-hop meta-refresh (download.py:254-268) with the reference's
+    exact observable accounting: nested get() resets the counters, so a
+    visit reports the INNERMOST frame's downloads/errors; relative links
+    resolve against the page whose meta tag led to the final content."""
+
+    def run_chain(self, spark, num_redirects):
+        pages = synth.site_redirect_chain()
+        oracle = SequentialOracle(
+            {p["url"]: p for p in pages},
+            OracleConfig(max_depth=None, num_redirects=num_redirects),
+        )
+        exp = oracle.run([pages[0]["url"]])
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, batch_size=1, num_redirects=num_redirects),
+        )
+        job.run([pages[0]["url"]])
+        return exp, job
+
+    def test_two_hop_chain_relative_base_and_hop_caching(self, spark):
+        exp, job = self.run_chain(spark, num_redirects=5)
+        got = job.visit_urls()
+        assert got == exp.visit_order
+        # relative link on leaf resolved against r2 (the rewrite base)
+        assert "http://chainredir.com/b/rel.html" in got
+        # the late visit re-extracts leaf's links with base=late, so
+        # 'rel.html' also surfaces as /rel.html — missing, one error burn
+        assert "http://chainredir.com/rel.html" in got
+        # downloads: seed, r1-chain (innermost frame = leaf), /b/rel.html;
+        # caches: the r2 revisit (hop-cached) + late (chain ends on cached
+        # leaf); errors: the missing /rel.html
+        assert job.metrics.num_downloads == exp.num_downloads == 3
+        assert job.metrics.num_caches == exp.num_caches == 2
+        assert job.metrics.num_errors == exp.num_errors == 1
+
+    def test_redirect_budget_limits_chase(self, spark):
+        exp, job = self.run_chain(spark, num_redirects=1)
+        got = job.visit_urls()
+        assert got == exp.visit_order
+        # budget 1 stops at r2's own (link-less) content: nothing more found
+        assert len(got) == 2
+
+    def test_chain_dead_end_counts_inner_frame_errors(self, spark):
+        pages = [
+            synth.make_page(
+                "http://dead.com/seed", [], redirect_to="http://dead.com/gone"
+            )
+        ]
+        oracle = SequentialOracle(
+            {p["url"]: p for p in pages}, OracleConfig(max_depth=None)
+        )
+        exp = oracle.run([pages[0]["url"]])
+        job = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(max_depth=None)
+        )
+        job.run([pages[0]["url"]])
+        assert job.visit_urls() == exp.visit_order == ["http://dead.com/seed"]
+        # the missing redirect target burns the (inner) retry budget; the
+        # outer page's successful fetch leaves no trace (counter reset)
+        assert job.metrics.num_errors == exp.num_errors == 1
+        assert job.metrics.num_downloads == exp.num_downloads == 0
+
+
+class TestCacheTTL:
+    """PersistentDict `expires` semantics (pdict.py:51, 202-205): cached
+    pages go stale on the politeness timeline and are re-fetched; fresh
+    entries keep serving from cache. Diamond fixture, single domain,
+    batch_size=1, variance=0 — the engine's planned-schedule clock then
+    equals the oracle's sequential throttle timeline exactly:
+    a@0, b@5, c@10, d@15, then the d->a revisit reads the cache at t=15."""
+
+    def run_ttl(self, spark, expires):
+        pages = synth.site_diamond()
+        oracle = SequentialOracle(
+            {p["url"]: p for p in pages},
+            OracleConfig(max_depth=None, expires=expires, variance=0.0),
+        )
+        exp = oracle.run([pages[0]["url"]])
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, batch_size=1, expires=expires, variance=0.0),
+        )
+        job.run([pages[0]["url"]])
+        return exp, job
+
+    def test_fresh_entry_served_from_cache(self, spark):
+        exp, job = self.run_ttl(spark, expires=100.0)
+        assert job.visit_urls() == exp.visit_order
+        assert job.metrics.num_caches == exp.num_caches == 1
+        assert job.metrics.num_downloads == exp.num_downloads == 4
+
+    def test_expired_entry_refetched(self, spark):
+        # revisit of a at clock 15, fetched at 0: stale under a 10 s TTL
+        exp, job = self.run_ttl(spark, expires=10.0)
+        assert job.visit_urls() == exp.visit_order
+        assert exp.num_caches == 0 and exp.num_downloads == 5
+        assert job.metrics.num_caches == 0
+        assert job.metrics.num_downloads == 5
+
+
+class TestPatternAndAcceptableErrors:
+    """Pattern gate (download.py:373-376, 425-428), acceptable error codes
+    (download.py:447-448), and the empty-cache redownload rule
+    (download.py:204-218), engine vs oracle."""
+
+    def two_visit_graph(self, status):
+        """err is a SEED so it can be revisited: non-seed URLs enter `found`
+        on first discovery and are never re-queued, but a link back to a
+        seed re-queues it (download.py:843 + 1041) — the only way a cache
+        re-read happens in a vanilla crawl."""
+        a = "http://pa.com/a"
+        err = "http://pa.com/err"
+        return [
+            synth.make_page(err, [], status_code=status),
+            synth.make_page(a, [err]),
+        ]
+
+    def run_cfg(self, spark, pages, seeds=None, **kw):
+        seeds = seeds or [pages[0]["url"]]
+        oracle = SequentialOracle(
+            {p["url"]: p for p in pages}, OracleConfig(max_depth=None, **kw)
+        )
+        exp = oracle.run(seeds)
+        job = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(max_depth=None, batch_size=1, **kw)
+        )
+        job.run(seeds)
+        assert job.visit_urls() == exp.visit_order
+        assert job.metrics.num_downloads == exp.num_downloads
+        assert job.metrics.num_errors == exp.num_errors
+        assert job.metrics.num_caches == exp.num_caches
+        return exp, job
+
+    def test_pattern_gate_burns_budget_and_blocks_links(self, spark):
+        # chain pages with links contain 'link 0'; the tail page doesn't —
+        # it downloads fine but fails the required pattern every attempt
+        pages = synth.site_chain(3, domain="pat.com")
+        exp, job = self.run_cfg(spark, pages, pattern="link 0", num_retries=1)
+        assert len(exp.visit_order) == 3
+        assert exp.num_downloads == 2  # tail page never counts as a download
+        assert exp.num_errors == 2  # budget+1 attempts on the tail page
+
+    def _two_visit_seeds(self, pages):
+        return [p["url"] for p in pages]  # [err, a]: a links back to seed err
+
+    def test_empty_cache_entry_redownloaded(self, spark):
+        # err(500) visited twice: 1st burns budget+1=2; the revisit finds an
+        # empty cache entry with retries left -> redownload with budget-1
+        pages = self.two_visit_graph(500)
+        exp, job = self.run_cfg(
+            spark, pages, seeds=self._two_visit_seeds(pages), num_retries=1
+        )
+        assert exp.num_errors == 3
+        assert exp.num_caches == 0
+
+    def test_404_cache_entry_not_retried(self, spark):
+        # 404s skip the redownload (meta status gate): revisit = cache hit
+        pages = self.two_visit_graph(404)
+        exp, job = self.run_cfg(
+            spark, pages, seeds=self._two_visit_seeds(pages), num_retries=1
+        )
+        assert exp.num_errors == 2
+        assert exp.num_caches == 1
+
+    def test_acceptable_errors_single_attempt(self, spark):
+        # 500 acceptable: one failed attempt each time, never retried
+        pages = self.two_visit_graph(500)
+        exp, job = self.run_cfg(
+            spark, pages, seeds=self._two_visit_seeds(pages),
+            num_retries=1, acceptable_errors=(500,),
+        )
+        assert exp.num_errors == 2  # 1 per visit (revisit redownloads empty)
+        assert exp.num_caches == 0
 
 
 class TestSeenSetParity:
@@ -158,7 +336,7 @@ class TestSeenSetParity:
             spark, pages, [pages[0]["url"]],
             robots_df=robots_df, robots_dict=robots_dict,
         )
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert got == exp.visit_order
         assert not any("q.html" in u for u in got)
 
@@ -191,7 +369,7 @@ class TestRetrySemantics:
 
     def test_budget_covers_flaky(self, spark):
         exp, job = self.run_retry(spark, num_retries=2)
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert got == exp.visit_order
         assert any(u.endswith("/child") for u in got)  # link found on retry success
         assert job.metrics.num_downloads == exp.num_downloads == 3
@@ -200,7 +378,7 @@ class TestRetrySemantics:
 
     def test_budget_too_small(self, spark):
         exp, job = self.run_retry(spark, num_retries=1)
-        got = [u for u, _ in job.visit_log]
+        got = job.visit_urls()
         assert got == exp.visit_order
         assert not any(u.endswith("/child") for u in got)  # never succeeded
         assert job.metrics.num_downloads == exp.num_downloads == 1  # seed only

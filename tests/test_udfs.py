@@ -18,6 +18,11 @@ URLS = [
     "http://www.shop3.com.au/x",
     "http://d123.com/page",
     "http://a.biz.info/x",
+    # EVERY label is a public suffix ('pa' = Panama ccTLD): the JVM form
+    # must fall back to the whole host, not crash on the empty
+    # non-suffix-label array (ANSI element_at round-1 regression)
+    "http://pa.com/err",
+    "http://co.com.au/x",
 ]
 
 LINK_CASES = [

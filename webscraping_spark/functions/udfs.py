@@ -111,7 +111,11 @@ def get_domain_col(url: Column) -> Column:
     non_suffix = F.filter(
         idxs, lambda i: ~F.element_at(labels, i).rlike(suffix_pattern)
     )
-    start = F.coalesce(F.element_at(non_suffix, -1), F.lit(1))
+    # try_element_at: an all-suffix host (e.g. pa.com — 'pa' is a ccTLD)
+    # leaves non_suffix EMPTY, and ANSI element_at(-1) throws on empty
+    # arrays; NULL falls back to start=1 = keep the whole host, which is
+    # what the kernel's forward walk returns for that case
+    start = F.coalesce(F.try_element_at(non_suffix, F.lit(-1)), F.lit(1))
     domain = F.array_join(
         F.slice(labels, start, F.size(labels) - start + 1), "."
     )

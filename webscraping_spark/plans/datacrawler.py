@@ -84,11 +84,11 @@ def find_data(
             break
         if max_results is not None and len(results) >= max_results:
             break
-        before = len(job.visit_log)
+        before = job._visit_idx
         job.run([], max_supersteps=1)
-        if len(job.visit_log) == before:
+        if job._visit_idx == before:
             break
-        url = job.visit_log[-1][0]
+        url = job.last_batch_visits[-1]
         visit_order.append(url)
         html = html_by_url.get(url)
         if html:

@@ -61,8 +61,16 @@ class OracleConfig:
     crawl_existing: bool = True
     num_redirects: int = 1
     num_retries: int = 0
+    # required-content regex (download.py:373-376): failing html counts as
+    # a failed attempt (deterministic content burns the budget)
+    pattern: str = ""
+    # status codes returned as default after ONE error (download.py:447-448)
+    acceptable_errors: tuple = ()
     delay: float = 5.0
     variance: float = 0.5
+    # cache TTL in politeness-timeline seconds (pdict.py:202-205 is_fresh:
+    # a cached entry older than `expires` at read time is re-fetched)
+    expires: float | None = None
 
 
 @dataclass
@@ -74,6 +82,7 @@ class OracleResult:
     num_downloads: int = 0
     num_errors: int = 0
     num_caches: int = 0
+    last_base: str | None = None  # link-resolution base of the last visit
 
 
 def _robots_allows(cfg: OracleConfig, link: str) -> bool:
@@ -154,14 +163,59 @@ class SequentialOracle:
     def __init__(self, pages: dict[str, dict], cfg: OracleConfig | None = None):
         self.pages = pages
         self.cfg = cfg or OracleConfig()
+        self._cache_status: dict[str, str] = {}  # meta['status'] twin
+
+    def _invalid_response(self, html: str | None) -> bool:
+        """invalid_response (download.py:373-376)."""
+        return html is None or bool(
+            self.cfg.pattern
+            and not re.search(self.cfg.pattern, html, re.DOTALL | re.IGNORECASE)
+        )
 
     # -- Download.get model -------------------------------------------------
 
-    def _fetch(self, url: str, res: OracleResult, cache: dict, clock: list, next_allowed: dict, redirects_left: int) -> str | None:
+    def _fetch_frame(
+        self, url: str, res: OracleResult, cache: dict, clock: list,
+        next_allowed: dict, redirects_left: int, cache_time: dict,
+    ) -> tuple[str | None, int, int, str | None]:
+        """One Download.get frame. Returns (html, downloads, errors, base).
+
+        Counter semantics replicate the reference precisely: every nested
+        ``get()`` RESETS ``self.num_downloads/num_errors`` at entry
+        (download.py:188), so after a meta-refresh recursion the counters a
+        visit reports are the INNERMOST frame's — a redirect hop's fetch of
+        the outer page leaves no trace, and a redirect into an
+        already-cached page reports (0, 0), which ``threaded_get`` counts
+        as a cache hit (download.py:839-840).
+
+        ``base`` is the URL relative links in the returned html resolve
+        against: the reference rewrites relative hrefs bottom-up through
+        ``urljoin(frame_url, ...)`` (download.py:264-268), so the innermost
+        frame that followed a redirect wins — the page whose meta tag led
+        to the final content. None means "no redirect followed" (caller
+        uses the page URL).
+        """
         cfg = self.cfg
+        budget = cfg.num_retries
         if url in cache:
-            res.num_caches += 1
-            return cache[url]
+            html_cached: str | None = cache[url]
+            if self._invalid_response(html_cached):
+                html_cached = None
+            # TTL freshness (pdict.py:202-205): now - fetched_at < expires
+            expired = cfg.expires is not None and (
+                clock[0] - cache_time.get(url, 0.0) >= cfg.expires
+            )
+            if not expired:
+                if not html_cached and budget > 0:
+                    # empty/invalid entry with retries left: re-download
+                    # ("Redownloading", download.py:216-218) with one attempt
+                    # consumed — unless the recorded status was 404
+                    if self._cache_status.get(url, "").startswith("404"):
+                        return "", 0, 0, None
+                    budget -= 1
+                else:
+                    return html_cached or "", 0, 0, None
+            # fall through and re-fetch (refreshes the entry)
         # throttle timeline (download.py:455-473): wait until domain slot
         domain = get_domain(url)
         t = max(clock[0], next_allowed.get(domain, 0.0))
@@ -172,35 +226,73 @@ class SequentialOracle:
         if page is None:
             # missing page: the whole retry budget burns (download.py:227-251:
             # while num_retries >= 0 and html is None)
-            res.num_errors += cfg.num_retries + 1
             cache[url] = ""
-            return None
-        if page["status_code"] >= 400:
-            succeed_after = int(page.get("meta", {}).get("succeed_after", "0"))
-            if 0 < succeed_after <= cfg.num_retries:
-                # flaky page: attempt succeed_after+1 succeeds
-                res.num_errors += succeed_after
-            else:
-                res.num_errors += cfg.num_retries + 1
+            cache_time[url] = t
+            self._cache_status[url] = ""
+            return None, 0, budget + 1, None
+        downloads, errors = 1, 0
+        status = page["status_code"]
+        self._cache_status[url] = str(status) if status != 200 else ""
+        if status >= 400:
+            if cfg.acceptable_errors and status in cfg.acceptable_errors:
+                # acceptable: ONE failed attempt, default returned, no retry
                 cache[url] = ""
-                return None
-        res.num_downloads += 1
+                cache_time[url] = t
+                return "", 0, 1, None
+            succeed_after = int(page.get("meta", {}).get("succeed_after", "0"))
+            if 0 < succeed_after <= budget:
+                # flaky page: attempt succeed_after+1 succeeds
+                errors = succeed_after
+            else:
+                cache[url] = ""
+                cache_time[url] = t
+                return None, 0, budget + 1, None
         html = page["html"]
-        # 301: urllib follows transparently; content is the target's
+        base: str | None = None
+        # 301: urllib follows transparently; content is the target's —
+        # the pattern gate therefore sees the post-redirect content
         if page["status_code"] in (301, 302) and page["final_url"] != url:
             target = self.pages.get(page["final_url"])
             html = target["html"] if target else ""
-        # meta-refresh redirect (download.py:254-268)
+        if cfg.pattern and not re.search(cfg.pattern, html or "", re.DOTALL | re.IGNORECASE):
+            # pattern gate (download.py:425-428): every attempt downloads
+            # the same non-matching content — the budget burns
+            cache[url] = ""
+            cache_time[url] = t
+            return None, 0, budget + 1, None
+        # meta-refresh redirect (download.py:254-268): full nested get —
+        # which RESETS the counters (the reference's observable behavior)
         if redirects_left > 0:
             redirect_url = get_meta_redirect(url, html)
             if redirect_url:
-                html = self._fetch(redirect_url, res, cache, clock, next_allowed, redirects_left - 1) or ""
+                inner_html, downloads, errors, inner_base = self._fetch_frame(
+                    redirect_url, res, cache, clock, next_allowed,
+                    redirects_left - 1, cache_time,
+                )
+                html = inner_html or ""
+                base = inner_base if inner_base is not None else url
         cache[url] = html
+        cache_time[url] = t
+        return html, downloads, errors, base
+
+    def _fetch(self, url: str, res: OracleResult, cache: dict, clock: list, next_allowed: dict, redirects_left: int, cache_time: dict | None = None) -> str | None:
+        """Visit-level fetch: frame counters fold into the State counters
+        the way threaded_get records them (download.py:838-841)."""
+        if cache_time is None:
+            cache_time = {}
+        html, downloads, errors, base = self._fetch_frame(
+            url, res, cache, clock, next_allowed, redirects_left, cache_time
+        )
+        res.num_downloads += downloads
+        res.num_errors += errors
+        if downloads == 0 and errors == 0:
+            res.num_caches += 1
+        res.last_base = base
         return html
 
     # -- CrawlerCallback.crawl model -----------------------------------------
 
-    def _crawl_links(self, url: str, html: str, res: OracleResult, cache: dict) -> list[str]:
+    def _crawl_links(self, url: str, html: str, res: OracleResult, cache: dict, base: str | None = None) -> list[str]:
         cfg = self.cfg
         allowed = re.compile(cfg.allowed_urls)
         banned = re.compile(cfg.banned_urls)
@@ -209,7 +301,9 @@ class SequentialOracle:
         outstanding: list[str] = []
         if depth != cfg.max_depth:
             for raw in _LINKS_RE.findall(html):
-                link = canonicalize_url(url, raw)
+                # relative links resolve against the redirect-rewrite base
+                # (download.py:264-268); absolute ones ignore it
+                link = canonicalize_url(base or url, raw)
                 if link in res.found:
                     continue
                 res.found[link] = depth + 1
@@ -233,14 +327,16 @@ class SequentialOracle:
         cfg = self.cfg
         res = OracleResult()
         cache: dict[str, str] = {}
+        cache_time: dict[str, float] = {}
+        self._cache_status = {}
         clock = [0.0]
         next_allowed: dict[str, float] = {}
         queue = deque(seeds)
         while queue:
             url = queue.pop() if cfg.depth_first else queue.popleft()
             res.visit_order.append(url)
-            html = self._fetch(url, res, cache, clock, next_allowed, cfg.num_redirects) or ""
-            for link in self._crawl_links(url, html, res, cache):
+            html = self._fetch(url, res, cache, clock, next_allowed, cfg.num_redirects, cache_time) or ""
+            for link in self._crawl_links(url, html, res, cache, res.last_base):
                 queue.append(link)
                 res.queued.append(link)
         return res

@@ -61,8 +61,19 @@ class SnapshotTable:
         superstep: int,
         lineage: dict[str, Any] | None = None,
         metrics: dict[str, Any] | None = None,
+        mode: str = "full",
     ) -> int:
-        """Write ``df`` as the next snapshot; atomic manifest rename."""
+        """Write ``df`` as the next snapshot; atomic manifest rename.
+
+        ``mode='full'`` snapshots the complete table state. ``mode='delta'``
+        commits only this superstep's APPENDED rows — the per-superstep
+        write cost is then O(batch), not O(state) (the Iceberg-append
+        analog); ``load`` unions the delta chain back to the latest full
+        snapshot. Callers compact (a full commit) on their checkpoint
+        cadence so the chain the next read pays stays bounded.
+        """
+        if mode not in ("full", "delta"):
+            raise ValueError(f"unknown commit mode: {mode}")
         version = self.current_version() + 1
         snap_dir = os.path.join(self.table_dir, f"snap-{version:06d}")
         df.write.mode("overwrite").parquet(snap_dir)
@@ -76,6 +87,7 @@ class SnapshotTable:
             "version": version,
             "superstep": superstep,
             "parent_version": version - 1,
+            "mode": mode,
             "committed_at": time.time(),
             "location": snap_dir,
             "files": files,
@@ -90,11 +102,40 @@ class SnapshotTable:
         os.rename(tmp, self._manifest_path(version))  # atomic commit point
         return version
 
+    def chain_locations(self, version: int | None = None) -> list[str]:
+        """Data locations for a read at ``version``: the newest full
+        snapshot at-or-before it plus every delta after, oldest first."""
+        v = self.current_version() if version is None else version
+        locs: list[str] = []
+        while v >= 0:
+            manifest = self.read_manifest(v)
+            locs.append(manifest["location"])
+            if manifest.get("mode", "full") == "full":
+                break
+            v -= 1
+        return list(reversed(locs))
+
     def load(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         manifest = self.read_manifest(version)
         if manifest is None:
             return None
-        return spark.read.parquet(manifest["location"])
+        return spark.read.parquet(*self.chain_locations(version))
+
+
+def merge_tables(
+    target: DataFrame, source: DataFrame, key: str = "url_hash", override: bool = False
+) -> DataFrame:
+    """``PersistentDict.merge`` (pdict.py:249-255): copy rows from
+    ``source`` whose key is absent from ``target``; ``override=True``
+    prefers source rows for matched keys instead. The Iceberg analog is
+    ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` (resp. ``WHEN MATCHED
+    THEN UPDATE``); as plain DataFrames it is an anti-join + union — one
+    shuffle on the key, no driver involvement."""
+    if override:
+        kept_target = target.join(source.select(key), key, "left_anti")
+        return kept_target.unionByName(source)
+    new_rows = source.join(target.select(key), key, "left_anti")
+    return target.unionByName(new_rows)
 
 
 class SnapshotCatalog:

@@ -228,6 +228,31 @@ def site_redirect_error(domain: str = "redir.com") -> list[dict]:
     return pages
 
 
+def site_redirect_chain(domain: str = "chainredir.com") -> list[dict]:
+    """Multi-hop meta-refresh chain: seed -> r1, r1 ~> r2 ~> leaf (two
+    meta hops). leaf carries a RELATIVE link that must resolve against r2
+    (the page whose meta tag led to the final content — the reference's
+    bottom-up relative-href rewrite, download.py:264-268), a link back to
+    r2 (visited later: must classify as a cache hit, since the hop fetch
+    cached it), and a link to `late`, which redirects into the
+    already-cached leaf (the nested get() ends on a cache read, so the
+    visit reports frame (0,0) = a cache hit)."""
+    seed = f"http://{domain}/seed"
+    r1 = f"http://{domain}/a/r1"
+    r2 = f"http://{domain}/b/r2"
+    leaf = f"http://{domain}/c/leaf"
+    rel_target = f"http://{domain}/b/rel.html"  # 'rel.html' against r2's dir
+    late = f"http://{domain}/late"
+    return [
+        make_page(seed, [r1]),
+        make_page(r1, [], redirect_to=r2),
+        make_page(r2, [], redirect_to=leaf),
+        make_page(leaf, ["rel.html", r2, late]),
+        make_page(rel_target, []),
+        make_page(late, [], redirect_to=leaf),
+    ]
+
+
 def site_flaky(domain: str = "flaky.com") -> list[dict]:
     """Retry fixture: a page that 503s twice then succeeds (with a child
     link that must be discovered on the successful attempt), plus a

@@ -32,7 +32,7 @@ from webscraping_spark.plans.crawl import CrawlConfig, CrawlJob
 @dataclass
 class StreamCrawlResult:
     batches: int = 0
-    visit_log: list = field(default_factory=list)
+    visit_urls: list = field(default_factory=list)
     metrics: dict = field(default_factory=dict)
 
 
@@ -82,6 +82,6 @@ def crawl_stream(
         .start()
     )
     query.awaitTermination()
-    result.visit_log = job.visit_log
+    result.visit_urls = job.visit_urls()
     result.metrics = job.metrics.as_dict()
     return result
