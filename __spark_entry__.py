@@ -147,6 +147,47 @@ def q_retry_routing(spark, sf_dir):
     )
 
 
+def q_geocode_flatten(spark, sf_dir):
+    """SURVEY §2.2 JSON status gate + address flatten (GoogleMaps
+    load_result download.py:703-726, parse_location 729-765): synthesize a
+    geocode API response per customer, parse it with from_json +
+    higher-order filters (pure JVM), emit the flat fields. The oracle
+    reconstructs the expected values arithmetically — any parse/flatten
+    slip hash-mismatches."""
+    from webscraping_spark.functions.extract import geocode_flatten_cols
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    status = F.when(key % 10 == 0, "ZERO_RESULTS").otherwise("OK")
+    num = (key % 999).cast("string")
+    lat = ((key % 160) - 80).cast("double").cast("string")
+    lng = ((key % 340) - 170).cast("double").cast("string")
+    payload = F.concat(
+        F.lit('{"status":"'), status,
+        F.lit('","formatted_address":"'), num, F.lit(' Main St, Springfield"'),
+        F.lit(',"address_components":['),
+        F.lit('{"long_name":"'), num, F.lit('","short_name":"'), num,
+        F.lit('","types":["street_number"]},'),
+        F.lit('{"long_name":"Main St","short_name":"Main St","types":["route"]},'),
+        F.lit('{"long_name":"California","short_name":"CA",'
+              '"types":["administrative_area_level_1","political"]},'),
+        F.lit('{"long_name":"United States","short_name":"US",'
+              '"types":["country","political"]}]'),
+        F.lit(',"geometry":{"location":{"lat":'), lat, F.lit(',"lng":'), lng,
+        F.lit('}},"types":["street_address"]}'),
+    )
+    cols = geocode_flatten_cols(payload)
+    return c.select(
+        "c_custkey",
+        cols["address"].alias("address"),
+        cols["state_code"].alias("state_code"),
+        cols["country"].alias("country"),
+        cols["full_address"].alias("full_address"),
+        cols["lat"].alias("lat"),
+        cols["lng"].alias("lng"),
+    )
+
+
 def q_cache_merge_keep_target(spark, sf_dir):
     """SURVEY §2.7 cache merge (PersistentDict.merge, pdict.py:249-255):
     keys already in the target keep the TARGET row; only absent keys copy
@@ -161,6 +202,24 @@ def q_cache_merge_keep_target(spark, sf_dir):
         "doc_id", F.lit("source").alias("side")
     )
     return merge_tables(target, source, key="doc_id")
+
+
+def q_kv_last_write_wins(spark, sf_dir):
+    """SURVEY §2.1 sqlite KV store upsert semantics (pdict.py:181-188
+    INSERT OR REPLACE): replay an append-only write log and keep the last
+    write per key — the resolution the snapshot-backed PersistentDictTable
+    applies to its delta chain (sources/kv.py). orders is the log: key =
+    o_custkey, write time = o_orderkey, payload = o_totalprice."""
+    from webscraping_spark.sources.kv import resolve_upsert_log
+
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("value"),
+        F.lit("m").alias("meta"),
+        F.col("o_orderkey").cast("double").alias("updated"),
+    )
+    return resolve_upsert_log(log).select("key", "value", "updated")
 
 
 def q_proxy_consec_errors(spark, sf_dir):
@@ -470,7 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordered_dedup_first": q_ordered_dedup_first,
         "link_cap_slice": q_link_cap_slice,
         "retry_routing": q_retry_routing,
+        "geocode_flatten": q_geocode_flatten,
         "cache_merge_keep_target": q_cache_merge_keep_target,
+        "kv_last_write_wins": q_kv_last_write_wins,
         "proxy_consec_errors": q_proxy_consec_errors,
         "charset_decode_roundtrip": q_charset_decode_roundtrip,
         "cache_ttl_filter": q_cache_ttl_filter,
@@ -550,12 +611,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY 1
         """,
+        "geocode_flatten": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL
+                        ELSE (c_custkey % 999) || ' Main St' END AS address,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE 'CA' END AS state_code,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL
+                        ELSE 'United States' END AS country,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL
+                        ELSE (c_custkey % 999) || ' Main St, Springfield' END
+                       AS full_address,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL
+                        ELSE ((c_custkey % 160) - 80)::DOUBLE END AS lat,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL
+                        ELSE ((c_custkey % 340) - 170)::DOUBLE END AS lng
+            FROM customer
+        """,
         "cache_merge_keep_target": """
             SELECT doc_id, 'target' AS side FROM documents WHERE doc_id < 300
             UNION ALL
             SELECT doc_id, 'source' AS side FROM documents
             WHERE doc_id >= 200
               AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id < 300)
+        """,
+        "kv_last_write_wins": """
+            SELECT o_custkey AS key,
+                   arg_max(o_totalprice, o_orderkey) AS value,
+                   max(o_orderkey)::DOUBLE AS updated
+            FROM orders GROUP BY o_custkey
         """,
         "proxy_consec_errors": """
             WITH log AS (

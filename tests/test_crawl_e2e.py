@@ -307,6 +307,35 @@ class TestPatternAndAcceptableErrors:
         assert exp.num_caches == 0
 
 
+class TestDownloaderHook:
+    def test_custom_downloader_bypasses_fetch_pipeline(self, spark):
+        """threaded_get's `dl` hook (download.py:789, 819): content comes
+        from the user callable, Download.get is bypassed entirely — no
+        cache, retries, redirects or throttle — and because the callable
+        never touches D.num_downloads/num_errors, threaded_get records
+        every such visit as a cache hit (download.py:838-841)."""
+        from pyspark.sql import functions as F
+
+        def dl(urls_df):
+            nid = F.regexp_extract("url", r"p(\d+)$", 1).cast("int")
+            html = F.when(
+                nid < 3,
+                F.concat(
+                    F.lit('<a href="http://dl.com/p'),
+                    (nid + 1).cast("string"),
+                    F.lit('">n</a>'),
+                ),
+            ).otherwise(F.lit("<html>leaf</html>"))
+            return urls_df.select("url", html.alias("html"))
+
+        job = CrawlJob(spark, None, CrawlConfig(max_depth=None), downloader=dl)
+        job.run(["http://dl.com/p0"])
+        assert job.visit_urls() == [f"http://dl.com/p{i}" for i in range(4)]
+        assert job.metrics.num_caches == 4
+        assert job.metrics.num_downloads == 0
+        assert job.metrics.num_errors == 0
+
+
 class TestSeenSetParity:
     def test_found_membership_matches(self, spark):
         pages = synth.site_tree(branching=3, depth=2)

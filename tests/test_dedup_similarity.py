@@ -217,6 +217,13 @@ class TestMultimodal:
         assert len(v) == 8
         assert all(r["decode_ok"] and r["shape_ok"] and r["pixels_ok"] and r["phash_ok"] for r in v)
         assert all(r["psnr"] >= 40.0 for r in v)
+        # per-row caption invariant (BASELINE input_hint: exact equality
+        # with the deterministic generator's caption for the url)
+        assert all(r["caption_ok"] for r in v)
+        from pyspark.sql import functions as F
+
+        tampered = pdf.withColumn("caption", F.concat(F.col("caption"), F.lit("!")))
+        assert not any(r["caption_ok"] for r in verify_images(tampered).collect())
         feats = image_features(pdf, grid=4).collect()
         assert len(feats) == 8 and all(len(r["features"]) == 16 for r in feats)
         resized = resize_images(pdf, 16, 16).collect()

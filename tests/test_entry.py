@@ -40,7 +40,7 @@ def normalize_rows(cols, rows):
             else:
                 norm.append((c, v))
         out.append(tuple(norm))
-    return sorted(out)
+    return sorted(out, key=repr)  # repr-keyed: None-safe, type-stable
 
 
 def test_entry_smoke(spark):

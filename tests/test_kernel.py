@@ -254,3 +254,70 @@ class TestHtmlPath:
 )
 def test_canonicalize_edges(base, link, expected):
     assert canonicalize_url(base, link) == expected
+
+
+class TestGeocodeJson:
+    """load_result status gate (download.py:703-726) + parse_location
+    flattening (download.py:729-765), kernel and Spark twin."""
+
+    RESULT = {
+        "status": "OK",
+        "formatted_address": "48 Pirrama Rd, Pyrmont NSW 2009, Australia",
+        "address_components": [
+            {"long_name": "48", "short_name": "48", "types": ["street_number"]},
+            {"long_name": "Pirrama Road", "short_name": "Pirrama Rd", "types": ["route"]},
+            {"long_name": "Pyrmont", "short_name": "Pyrmont", "types": ["locality", "political"]},
+            {"long_name": "New South Wales", "short_name": "NSW",
+             "types": ["administrative_area_level_1", "political"]},
+            {"long_name": "Australia", "short_name": "AU", "types": ["country", "political"]},
+            {"long_name": "2009", "short_name": "2009", "types": ["postal_code"]},
+        ],
+        "geometry": {"location": {"lat": -33.866651, "lng": 151.195827}},
+        "types": ["street_address"],
+    }
+
+    def test_load_result_status_gate(self):
+        import json
+
+        from webscraping_spark.functions.extract import load_result
+
+        assert load_result(json.dumps(self.RESULT))["status"] == "OK"
+        assert load_result(json.dumps({"status": "ZERO_RESULTS"})) == {}
+        assert load_result(json.dumps({"status": "OVER_QUERY_LIMIT"})) == {}
+        assert load_result("not json {") == {}
+        assert load_result(None) == {}
+        assert load_result("") == {}
+
+    def test_parse_location_flattens(self):
+        from webscraping_spark.functions.extract import parse_location
+
+        flat = parse_location(self.RESULT)
+        assert flat["address"] == "48 Pirrama Road"
+        assert flat["state"] == "New South Wales" and flat["state_code"] == "NSW"
+        assert flat["country"] == "Australia" and flat["country_code"] == "AU"
+        assert flat["postcode"] == "2009" and flat["suburb"] == "Pyrmont"
+        assert flat["lat"] == -33.866651 and flat["lng"] == 151.195827
+        assert flat["full_address"].startswith("48 Pirrama Rd")
+
+    def test_spark_twin_matches_kernel(self, spark):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from webscraping_spark.functions.extract import (
+            geocode_flatten_cols,
+            parse_location,
+        )
+
+        df = spark.createDataFrame([(json.dumps(self.RESULT),)], "payload string")
+        cols = geocode_flatten_cols(F.col("payload"))
+        row = df.select(
+            *[cols[k].alias(k) for k in ("address", "state", "state_code",
+                                          "country", "country_code", "postcode",
+                                          "suburb", "full_address", "lat", "lng")]
+        ).first()
+        flat = parse_location(self.RESULT)
+        for k in ("state", "state_code", "country", "country_code",
+                  "postcode", "suburb", "full_address", "lat", "lng"):
+            assert row[k] == flat[k], k
+        assert row["address"] == flat["address"]

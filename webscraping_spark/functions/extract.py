@@ -230,3 +230,110 @@ def agent_for(key: str) -> str:
     import zlib
 
     return _UA_TEMPLATES[zlib.crc32(key.encode("utf-8")) % len(_UA_TEMPLATES)]
+
+
+# ---------------------------------------------------------------------------
+# Geocode-API JSON: status gate + address flattening
+# (GoogleMaps.load_result download.py:703-726; parse_location 729-765)
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+# component type -> flat field(s); abbrev (short_name) variants get _code
+_COMPONENT_FIELDS = {
+    "street_number": ("number", None),
+    "route": ("street", None),
+    "postal_code": ("postcode", None),
+    "locality": ("suburb", None),
+    "administrative_area_level_1": ("state", "state_code"),
+    "administrative_area_level_2": ("county", None),
+    "administrative_area_level_3": ("district", None),
+    "country": ("country", "country_code"),
+}
+
+
+def load_result(html: str | None) -> dict:
+    """Parse an API response, returning the payload only when the JSON is
+    well formed AND status == 'OK' (download.py:703-726). 'ZERO_RESULTS',
+    quota and denial statuses all yield {} — the status routing (re-try
+    later for OVER_QUERY_LIMIT via cache-clear) is the caller's move, as in
+    the reference."""
+    if html:
+        try:
+            data = _json.loads(html)
+        except ValueError:
+            return {}
+        if isinstance(data, dict) and data.get("status") == "OK":
+            return data
+    return {}
+
+
+def parse_location(result: dict) -> dict:
+    """Flatten a geocoding result's address_components (download.py:729-765):
+    one flat string field per component type, state/country keep their
+    short_name as *_code, address = number + street when a street exists."""
+    out: dict = {}
+    for comp in result.get("address_components", []):
+        types = comp.get("types", [])
+        for t, (field, code_field) in _COMPONENT_FIELDS.items():
+            if t in types:
+                out[field] = comp.get("long_name", "")
+                if code_field:
+                    out[code_field] = comp.get("short_name", "")
+    out["full_address"] = result.get("formatted_address", "")
+    if "street" in out:
+        out["address"] = (out.get("number", "") + " " + out["street"]).strip()
+    loc = result.get("geometry", {}).get("location", {})
+    out["lat"] = loc.get("lat")
+    out["lng"] = loc.get("lng")
+    out["types"] = result.get("types", [])
+    return out
+
+
+GEOCODE_SCHEMA = (
+    "status string, formatted_address string, "
+    "address_components array<struct<long_name string, short_name string, "
+    "types array<string>>>, "
+    "geometry struct<location struct<lat double, lng double>>, "
+    "types array<string>"
+)
+
+
+def geocode_flatten_cols(json_col):
+    """Spark-native twin: from_json with GEOCODE_SCHEMA, status-gated, then
+    the same flat projection as parse_location — pure JVM (higher-order
+    `filter` over the components array), no UDF."""
+    from pyspark.sql import functions as F
+
+    parsed = F.from_json(json_col, GEOCODE_SCHEMA)
+    ok = parsed["status"] == "OK"
+
+    def comp(type_name, field="long_name"):
+        match = F.filter(
+            parsed["address_components"],
+            lambda c: F.array_contains(c["types"], type_name),
+        )
+        return F.when(ok & (F.size(match) > 0), match[0][field])
+
+    number = comp("street_number")
+    street = comp("route")
+    cols = {
+        "number": number,
+        "street": street,
+        "postcode": comp("postal_code"),
+        "suburb": comp("locality"),
+        "state": comp("administrative_area_level_1"),
+        "state_code": comp("administrative_area_level_1", "short_name"),
+        "county": comp("administrative_area_level_2"),
+        "district": comp("administrative_area_level_3"),
+        "country": comp("country"),
+        "country_code": comp("country", "short_name"),
+        "full_address": F.when(ok, parsed["formatted_address"]),
+        "address": F.when(
+            street.isNotNull(),
+            F.trim(F.concat(F.coalesce(number, F.lit("")), F.lit(" "), street)),
+        ),
+        "lat": F.when(ok, parsed["geometry"]["location"]["lat"]),
+        "lng": F.when(ok, parsed["geometry"]["location"]["lng"]),
+    }
+    return cols

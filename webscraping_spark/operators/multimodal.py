@@ -31,12 +31,28 @@ def verify_images(pages: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
 
     out_schema = (
         "image_id string, fmt string, decode_ok boolean, shape_ok boolean, "
-        "pixels_ok boolean, psnr double, phash_ok boolean"
+        "pixels_ok boolean, psnr double, phash_ok boolean, caption_ok boolean"
     )
 
     def verify(batches):
+        from webscraping_spark.sources.synth import caption_for
+
         for pdf in batches:
             n = len(pdf)
+            has_caption = "caption" in pdf.columns and "url" in pdf.columns
+            if has_caption:
+                # per-row caption invariant (BASELINE input_hint): the
+                # caption column must EXACTLY equal the deterministic
+                # generator's output for the row's url
+                caption_ok = np.array(
+                    [
+                        pdf["caption"].iloc[i] == caption_for(pdf["url"].iloc[i])
+                        for i in range(n)
+                    ],
+                    dtype=bool,
+                )
+            else:
+                caption_ok = np.zeros(n, dtype=bool)
             rows = {
                 "image_id": pdf["image_id"].to_numpy(),
                 "fmt": pdf["fmt"].to_numpy(),
@@ -45,6 +61,7 @@ def verify_images(pages: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
                 "pixels_ok": np.zeros(n, dtype=bool),
                 "psnr": np.full(n, -1.0),
                 "phash_ok": np.zeros(n, dtype=bool),
+                "caption_ok": caption_ok,
             }
             for i in range(n):
                 fmt = pdf["fmt"].iloc[i]
@@ -74,6 +91,8 @@ def verify_images(pages: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
             yield pd.DataFrame(rows)
 
     cols = ["image_id", "bytes", "fmt", "w", "h", "phash"]
+    if "caption" in pages.columns and "url" in pages.columns:
+        cols += ["caption", "url"]
     return pages.select(*cols).mapInPandas(verify, out_schema)
 
 

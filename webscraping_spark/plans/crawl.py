@@ -133,20 +133,32 @@ class CrawlJob:
     def __init__(
         self,
         spark: SparkSession,
-        pages: DataFrame,
+        pages: DataFrame | None,
         config: CrawlConfig | None = None,
         robots: DataFrame | None = None,
         checkpoint_dir: str | None = None,
+        downloader=None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.robots = robots
         self.catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
+        # custom downloader hook (threaded_get's `dl`, download.py:789,819):
+        # a Callable[[DataFrame(url)], DataFrame(url, html)] that REPLACES
+        # the engine's fetch pipeline for each batch — exactly like the
+        # reference's dl bypasses Download.get (no cache, no retries, no
+        # redirect chase, no throttle; visits report frame (0,0), which
+        # threaded_get counts as cache hits, download.py:838-841)
+        self.downloader = downloader
         # live-fetch payload shape: raw bytes + content_encoding decode
         # (gzip/deflate + <meta charset> sniff) before the store resolves
         from webscraping_spark.functions.decode import decode_html_bytes
 
-        self.store = self._resolve_store(decode_html_bytes(pages))
+        self.store = (
+            self._resolve_store(decode_html_bytes(pages))
+            if pages is not None
+            else None
+        )
         self.metrics = CrawlMetrics()
         # per-superstep only (bounded by batch_size) — the FULL visit order
         # is derivable from frontier state, never held on the driver:
@@ -392,207 +404,32 @@ class CrawlJob:
             self.last_batch_visits = [r["url"] for r in rows]
             visit_idx += len(rows)
 
-            # ---- fetch stage: resolve batch against the page store --------
-            # cache-hit classification: probe the visited table with the
-            # batch keys via a broadcast LEFT SEMI join — the (possibly
-            # huge) visited side streams through without shuffling, the
-            # tiny batch is the broadcast, and the result is at most
-            # batch_size keys, safe to collect. No O(corpus) driver state.
-            batch_keys = self.spark.createDataFrame(
-                [(r["url_hash"],) for r in all_rows], "url_hash long"
-            )
-            fresh_visited = self._visited
-            if cfg.expires is not None or cfg.num_retries > 0:
-                # TTL expiry and empty-entry redownloads both REFRESH cache
-                # entries, so the same url_hash can hold several rows: only
-                # the LATEST fetch counts (pdict.py is an upsert store)
-                fresh_visited = (
-                    self._visited.groupBy("url_hash")
-                    .agg(
-                        F.max_by(
-                            F.struct("ok", "status404"), F.col("fetched_at")
-                        ).alias("_last"),
-                        F.max("fetched_at").alias("fetched_at"),
+            # ---- fetch stage ------------------------------------------------
+            if self.downloader is not None:
+                # dl hook: content comes from the user callable; no cache,
+                # retries, redirects or throttle (reference dl semantics) —
+                # every visit reports frame (0,0) = a cache hit
+                resolved = (
+                    batch.join(
+                        self.downloader(batch.select("url").distinct()),
+                        "url",
+                        "left",
                     )
-                    .select(
-                        "url_hash", "fetched_at",
-                        F.col("_last.ok").alias("ok"),
-                        F.col("_last.status404").alias("status404"),
-                    )
+                    .withColumnRenamed("html", "serve_html")
+                    .withColumn("serve_base", F.col("url"))
+                    .withColumn("serve_ok", F.col("serve_html").isNotNull())
                 )
-            if cfg.expires is not None:
-                # TTL (pdict.py:202-205): fresh at the current crawl clock
-                fresh_visited = fresh_visited.filter(
-                    F.lit(self._crawl_clock) - F.col("fetched_at") < F.lit(cfg.expires)
+                n_ok = n_err = 0
+                n_cache = len(rows)
+                # dl bypasses the cache entirely (no Download.get) — the
+                # visited table gets no rows, so the snapshot delta is empty
+                self._last_visited_delta = self.spark.createDataFrame(
+                    [], VISITED_SCHEMA
                 )
-            if self._visited_count == 0:
-                hit_info = {}  # provably empty: skip the probe job
             else:
-                hit_info = {
-                    r["url_hash"]: (r["ok"], r["status404"])
-                    for r in fresh_visited.join(
-                        F.broadcast(batch_keys), "url_hash", "left_semi"
-                    ).collect()
-                }
-            # cache-read routing (download.py:195-218): a VALID cached entry
-            # serves from cache; an empty/invalid one with retries left is
-            # re-downloaded with one attempt consumed ("Redownloading",
-            # budget-1), unless its recorded status was 404 (no-retry).
-            # Cache-hit rows keep flowing (their content still feeds link
-            # extraction, like the reference's cb over cached html) with a
-            # sentinel budget: -1 marks "served an empty cache entry" so the
-            # extraction-side serve_ok stays false for them.
-            n_miss = 0
-            flagged = []
-            for r in all_rows:
-                info = hit_info.get(r["url_hash"])
-                if info is None:
-                    b, is_miss = cfg.num_retries, True
-                elif not info[0] and cfg.num_retries > 0 and not info[1]:
-                    b, is_miss = cfg.num_retries - 1, True  # Redownloading
-                else:
-                    b, is_miss = (cfg.num_retries if info[0] else -1), False
-                n_miss += is_miss
-                flagged.append(tuple(r) + (b, is_miss))
-            from pyspark.sql import types as T
-
-            aug_schema = T.StructType(
-                list(batch.schema.fields)
-                + [T.StructField("_budget", T.IntegerType()),
-                   T.StructField("_is_miss", T.BooleanType())]
-            )
-            batch = self.spark.createDataFrame(flagged, aug_schema)
-            resolved = batch.join(self.store, "url", "left")
-            # in-visit retry model (download.py:227-251) over the INNERMOST
-            # chain frame (nested get() resets the counters — see
-            # _resolve_store): a flaky page (succeed_after=k) succeeds iff
-            # the row's budget allows attempt k+1, contributing k failed
-            # attempts; a permanent error, pattern failure, or missing
-            # page/hop burns the whole budget; an acceptable error code
-            # returns the default after ONE failed attempt (download.py:447).
-            budget = F.col("_budget")
-            flaky_success = (F.col("final_succeed_after") > 0) & (
-                F.col("final_succeed_after") <= budget
-            )
-            acceptable = (
-                F.col("final_status").isin([int(c) for c in cfg.acceptable_errors])
-                if cfg.acceptable_errors
-                else F.lit(False)
-            )
-            serve_ok = (
-                F.col("serve_html").isNotNull()
-                & ~F.coalesce(F.col("final_missing"), F.lit(True))
-                & ~F.coalesce(F.col("final_pattern_fail"), F.lit(True))
-                & ((F.col("final_status") < 400) | (flaky_success & ~acceptable))
-            )
-            attempt_errors = (
-                F.when(F.col("serve_html").isNull(), budget + 1)
-                .when(F.col("final_missing"), budget + 1)
-                .when((F.col("final_status") >= 400) & acceptable, F.lit(1))
-                .when(F.col("final_pattern_fail"), budget + 1)
-                .when(F.col("final_status") < 400, F.lit(0))
-                .when(flaky_success, F.col("final_succeed_after"))
-                .otherwise(budget + 1)
-            )
-            resolved = resolved.withColumn("serve_ok", serve_ok).withColumn(
-                "_attempt_errors", attempt_errors
-            )
-            # one store join for the whole batch; misses are a filter, not a
-            # second probe
-            cache_misses = resolved.filter(F.col("_is_miss"))
-
-            # ---- politeness plan (misses only — cache hits don't fetch) ---
-            # plan over a NARROW projection: the scheduler needs keys and
-            # accounting columns, not the page payload — html/bytes must
-            # never ride through the politeness shuffle + Arrow scan
-            plan_input = cache_misses.select(
-                "url", "url_hash", "domain", "priority", "seq",
-                "serve_ok", "_attempt_errors", "hop_hashes",
-                "final_status", "final_missing",
-            )
-            planned, self._domain_state = politeness.plan_schedule(
-                plan_input,
-                self._domain_state,
-                delay=cfg.delay,
-                variance=cfg.variance,
-                seed=cfg.seed,
-            )
-            # truncate the domain-state lineage EVERY superstep: its plan
-            # chains a mapInPandas + join + groupBy per step, and Catalyst
-            # re-optimizes every consumer of the chain — measured as
-            # single-core driver minutes once the chain got deep. Lazy
-            # checkpoint = no extra job; blocks materialize at next use.
-            self._domain_state = self._domain_state.localCheckpoint(eager=False)
-            # single fused metrics pass: collect the planned rows (bounded
-            # by batch_size) — counters, makespan, AND the per-row fetch
-            # times the visited table needs, in one job
-            planned_rows = planned.select(
-                "url_hash", "serve_ok", "_attempt_errors", "scheduled_offset",
-                "hop_hashes", "final_status", "final_missing",
-            ).collect()
-            makespan = max((r["scheduled_offset"] for r in planned_rows), default=0.0)
-            # redirect hops that land on a FRESH, VALID cache entry end the
-            # nested get() chain with a cache read: the visit reports frame
-            # (0, 0) and threaded_get counts it as a cache hit
-            # (download.py:839)
-            hop_all = sorted(
-                {h for r in planned_rows for h in (r["hop_hashes"] or [])}
-            )
-            hop_hits: set[int] = set()
-            if hop_all:
-                hop_keys = self.spark.createDataFrame(
-                    [(h,) for h in hop_all], "url_hash long"
+                resolved, n_ok, n_err, n_cache = self._fetch_and_account(
+                    batch, all_rows, rows
                 )
-                hop_hits = {
-                    r["url_hash"]
-                    for r in fresh_visited.filter(F.col("ok")).join(
-                        F.broadcast(hop_keys), "url_hash", "left_semi"
-                    ).collect()
-                }
-            n_ok = n_err = 0
-            n_chain_cache = 0
-            visited_delta_rows: list[tuple[int, float, bool, bool]] = []
-            for r in planned_rows:
-                t = float(r["scheduled_offset"])
-                hops = list(r["hop_hashes"] or [])
-                cached_at = next(
-                    (i for i, h in enumerate(hops) if h in hop_hits), None
-                )
-                if cached_at is not None:
-                    # chain stopped at a cached hop: frame (0, 0) => cache;
-                    # the page and the hops before the cached one all cache
-                    # the (valid) chain content
-                    n_chain_cache += 1
-                    visited_delta_rows.append((r["url_hash"], t, True, False))
-                    visited_delta_rows.extend(
-                        (h, t, True, False) for h in hops[:cached_at]
-                    )
-                else:
-                    ok = bool(r["serve_ok"])
-                    s404 = (
-                        not r["final_missing"]
-                        and r["final_status"] is not None
-                        and int(r["final_status"]) == 404
-                    )
-                    n_ok += 1 if ok else 0
-                    n_err += r["_attempt_errors"]
-                    # every frame on the chain caches the same propagated
-                    # content (an inner '' propagates to all outer frames)
-                    visited_delta_rows.append((r["url_hash"], t, ok, s404))
-                    visited_delta_rows.extend((h, t, ok, s404) for h in hops)
-            n_cache = (len(rows) - n_miss) + n_chain_cache
-            self.metrics.planned_makespan_sec += makespan
-            self._crawl_clock = max(self._crawl_clock, makespan)
-            # visited-table delta: a driver-pinned micro-frame (<= batch x
-            # chain length rows), so _visited's lineage is a union of tiny
-            # in-memory relations between checkpoints — no recompute chains
-            visited_delta = self.spark.createDataFrame(
-                visited_delta_rows, VISITED_SCHEMA
-            )
-            if visited_delta_rows:
-                self._visited = self._visited.unionByName(visited_delta)
-                if self._visited_count is not None:
-                    self._visited_count += len(visited_delta_rows)
 
             # ---- link extraction + claim + push ---------------------------
             extracted = self._extract_links(resolved)
@@ -685,7 +522,7 @@ class CrawlJob:
                         superstep=step, mode="delta",
                     )
                     self.catalog.table("visited").commit(
-                        visited_delta, superstep=step, mode="delta"
+                        self._last_visited_delta, superstep=step, mode="delta"
                     )
                 self._committed_seq = frontier.next_seq
                 self.catalog.table("domain_state").commit(self._domain_state, superstep=step)
@@ -782,6 +619,216 @@ class CrawlJob:
             self.metrics.num_errors = state.get("num_errors", 0)
             self.metrics.num_caches = state.get("num_caches", 0)
             self._crawl_clock = state.get("crawl_clock", 0.0)
+
+    def _fetch_and_account(self, batch, all_rows, rows):
+        """Store-backed fetch stage: cache classification, retry/
+        redirect accounting, politeness planning, visited updates.
+        Returns (resolved, n_ok, n_err, n_cache)."""
+        cfg = self.cfg
+        # ---- fetch stage: resolve batch against the page store --------
+        # cache-hit classification: probe the visited table with the
+        # batch keys via a broadcast LEFT SEMI join — the (possibly
+        # huge) visited side streams through without shuffling, the
+        # tiny batch is the broadcast, and the result is at most
+        # batch_size keys, safe to collect. No O(corpus) driver state.
+        batch_keys = self.spark.createDataFrame(
+            [(r["url_hash"],) for r in all_rows], "url_hash long"
+        )
+        fresh_visited = self._visited
+        if cfg.expires is not None or cfg.num_retries > 0:
+            # TTL expiry and empty-entry redownloads both REFRESH cache
+            # entries, so the same url_hash can hold several rows: only
+            # the LATEST fetch counts (pdict.py is an upsert store)
+            fresh_visited = (
+                self._visited.groupBy("url_hash")
+                .agg(
+                    F.max_by(
+                        F.struct("ok", "status404"), F.col("fetched_at")
+                    ).alias("_last"),
+                    F.max("fetched_at").alias("fetched_at"),
+                )
+                .select(
+                    "url_hash", "fetched_at",
+                    F.col("_last.ok").alias("ok"),
+                    F.col("_last.status404").alias("status404"),
+                )
+            )
+        if cfg.expires is not None:
+            # TTL (pdict.py:202-205): fresh at the current crawl clock
+            fresh_visited = fresh_visited.filter(
+                F.lit(self._crawl_clock) - F.col("fetched_at") < F.lit(cfg.expires)
+            )
+        if self._visited_count == 0:
+            hit_info = {}  # provably empty: skip the probe job
+        else:
+            hit_info = {
+                r["url_hash"]: (r["ok"], r["status404"])
+                for r in fresh_visited.join(
+                    F.broadcast(batch_keys), "url_hash", "left_semi"
+                ).collect()
+            }
+        # cache-read routing (download.py:195-218): a VALID cached entry
+        # serves from cache; an empty/invalid one with retries left is
+        # re-downloaded with one attempt consumed ("Redownloading",
+        # budget-1), unless its recorded status was 404 (no-retry).
+        # Cache-hit rows keep flowing (their content still feeds link
+        # extraction, like the reference's cb over cached html) with a
+        # sentinel budget: -1 marks "served an empty cache entry" so the
+        # extraction-side serve_ok stays false for them.
+        n_miss = 0
+        flagged = []
+        for r in all_rows:
+            info = hit_info.get(r["url_hash"])
+            if info is None:
+                b, is_miss = cfg.num_retries, True
+            elif not info[0] and cfg.num_retries > 0 and not info[1]:
+                b, is_miss = cfg.num_retries - 1, True  # Redownloading
+            else:
+                b, is_miss = (cfg.num_retries if info[0] else -1), False
+            n_miss += is_miss
+            flagged.append(tuple(r) + (b, is_miss))
+        from pyspark.sql import types as T
+
+        aug_schema = T.StructType(
+            list(batch.schema.fields)
+            + [T.StructField("_budget", T.IntegerType()),
+               T.StructField("_is_miss", T.BooleanType())]
+        )
+        batch = self.spark.createDataFrame(flagged, aug_schema)
+        resolved = batch.join(self.store, "url", "left")
+        # in-visit retry model (download.py:227-251) over the INNERMOST
+        # chain frame (nested get() resets the counters — see
+        # _resolve_store): a flaky page (succeed_after=k) succeeds iff
+        # the row's budget allows attempt k+1, contributing k failed
+        # attempts; a permanent error, pattern failure, or missing
+        # page/hop burns the whole budget; an acceptable error code
+        # returns the default after ONE failed attempt (download.py:447).
+        budget = F.col("_budget")
+        flaky_success = (F.col("final_succeed_after") > 0) & (
+            F.col("final_succeed_after") <= budget
+        )
+        acceptable = (
+            F.col("final_status").isin([int(c) for c in cfg.acceptable_errors])
+            if cfg.acceptable_errors
+            else F.lit(False)
+        )
+        serve_ok = (
+            F.col("serve_html").isNotNull()
+            & ~F.coalesce(F.col("final_missing"), F.lit(True))
+            & ~F.coalesce(F.col("final_pattern_fail"), F.lit(True))
+            & ((F.col("final_status") < 400) | (flaky_success & ~acceptable))
+        )
+        attempt_errors = (
+            F.when(F.col("serve_html").isNull(), budget + 1)
+            .when(F.col("final_missing"), budget + 1)
+            .when((F.col("final_status") >= 400) & acceptable, F.lit(1))
+            .when(F.col("final_pattern_fail"), budget + 1)
+            .when(F.col("final_status") < 400, F.lit(0))
+            .when(flaky_success, F.col("final_succeed_after"))
+            .otherwise(budget + 1)
+        )
+        resolved = resolved.withColumn("serve_ok", serve_ok).withColumn(
+            "_attempt_errors", attempt_errors
+        )
+        # one store join for the whole batch; misses are a filter, not a
+        # second probe
+        cache_misses = resolved.filter(F.col("_is_miss"))
+
+        # ---- politeness plan (misses only — cache hits don't fetch) ---
+        # plan over a NARROW projection: the scheduler needs keys and
+        # accounting columns, not the page payload — html/bytes must
+        # never ride through the politeness shuffle + Arrow scan
+        plan_input = cache_misses.select(
+            "url", "url_hash", "domain", "priority", "seq",
+            "serve_ok", "_attempt_errors", "hop_hashes",
+            "final_status", "final_missing",
+        )
+        planned, self._domain_state = politeness.plan_schedule(
+            plan_input,
+            self._domain_state,
+            delay=cfg.delay,
+            variance=cfg.variance,
+            seed=cfg.seed,
+        )
+        # truncate the domain-state lineage EVERY superstep: its plan
+        # chains a mapInPandas + join + groupBy per step, and Catalyst
+        # re-optimizes every consumer of the chain — measured as
+        # single-core driver minutes once the chain got deep. Lazy
+        # checkpoint = no extra job; blocks materialize at next use.
+        self._domain_state = self._domain_state.localCheckpoint(eager=False)
+        # single fused metrics pass: collect the planned rows (bounded
+        # by batch_size) — counters, makespan, AND the per-row fetch
+        # times the visited table needs, in one job
+        planned_rows = planned.select(
+            "url_hash", "serve_ok", "_attempt_errors", "scheduled_offset",
+            "hop_hashes", "final_status", "final_missing",
+        ).collect()
+        makespan = max((r["scheduled_offset"] for r in planned_rows), default=0.0)
+        # redirect hops that land on a FRESH, VALID cache entry end the
+        # nested get() chain with a cache read: the visit reports frame
+        # (0, 0) and threaded_get counts it as a cache hit
+        # (download.py:839)
+        hop_all = sorted(
+            {h for r in planned_rows for h in (r["hop_hashes"] or [])}
+        )
+        hop_hits: set[int] = set()
+        if hop_all:
+            hop_keys = self.spark.createDataFrame(
+                [(h,) for h in hop_all], "url_hash long"
+            )
+            hop_hits = {
+                r["url_hash"]
+                for r in fresh_visited.filter(F.col("ok")).join(
+                    F.broadcast(hop_keys), "url_hash", "left_semi"
+                ).collect()
+            }
+        n_ok = n_err = 0
+        n_chain_cache = 0
+        visited_delta_rows: list[tuple[int, float, bool, bool]] = []
+        for r in planned_rows:
+            t = float(r["scheduled_offset"])
+            hops = list(r["hop_hashes"] or [])
+            cached_at = next(
+                (i for i, h in enumerate(hops) if h in hop_hits), None
+            )
+            if cached_at is not None:
+                # chain stopped at a cached hop: frame (0, 0) => cache;
+                # the page and the hops before the cached one all cache
+                # the (valid) chain content
+                n_chain_cache += 1
+                visited_delta_rows.append((r["url_hash"], t, True, False))
+                visited_delta_rows.extend(
+                    (h, t, True, False) for h in hops[:cached_at]
+                )
+            else:
+                ok = bool(r["serve_ok"])
+                s404 = (
+                    not r["final_missing"]
+                    and r["final_status"] is not None
+                    and int(r["final_status"]) == 404
+                )
+                n_ok += 1 if ok else 0
+                n_err += r["_attempt_errors"]
+                # every frame on the chain caches the same propagated
+                # content (an inner '' propagates to all outer frames)
+                visited_delta_rows.append((r["url_hash"], t, ok, s404))
+                visited_delta_rows.extend((h, t, ok, s404) for h in hops)
+        n_cache = (len(rows) - n_miss) + n_chain_cache
+        self.metrics.planned_makespan_sec += makespan
+        self._crawl_clock = max(self._crawl_clock, makespan)
+        # visited-table delta: a driver-pinned micro-frame (<= batch x
+        # chain length rows), so _visited's lineage is a union of tiny
+        # in-memory relations between checkpoints — no recompute chains
+        visited_delta = self.spark.createDataFrame(
+            visited_delta_rows, VISITED_SCHEMA
+        )
+        if visited_delta_rows:
+            self._visited = self._visited.unionByName(visited_delta)
+            if self._visited_count is not None:
+                self._visited_count += len(visited_delta_rows)
+        # stashed for the snapshot stage: the per-superstep visited DELTA
+        self._last_visited_delta = visited_delta
+        return resolved, n_ok, n_err, n_cache
 
     # ---------------------------------------------------------------- stages
 

@@ -71,10 +71,15 @@ def find_data(
     # restrict link discovery to the same netloc (download.py:1116)
     job.netloc_filter = netloc
 
-    html_by_url = {
-        r["url"]: r["serve_html"]
-        for r in job.store.select("url", "serve_html").collect()
-    }
+    # per-visit page lookup: a 1-row filtered collect against the store
+    # (parquet pushdown applies), NOT an O(corpus) whole-store collect —
+    # best-first is batch=1 sequential by contract, so one tiny job per
+    # visit is the floor anyway
+    store = job.store.select("url", "serve_html")
+
+    def _html_for(url: str) -> str | None:
+        rows = store.filter(F.col("url") == url).limit(1).collect()
+        return rows[0]["serve_html"] if rows else None
 
     results: list[str] = []
     visit_order: list[str] = []
@@ -90,7 +95,7 @@ def find_data(
             break
         url = job.last_batch_visits[-1]
         visit_order.append(url)
-        html = html_by_url.get(url)
+        html = _html_for(url)
         if html:
             for item in extract_fn(html):
                 if item not in results:

@@ -75,4 +75,16 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # spark.driver.memory set via builder is a no-op under spark-submit
+    # (the JVM is already up), so the 64 MB broadcast threshold can exceed
+    # what a default 1g driver can actually BUILD (HashedRelation memory is
+    # several x the size estimate). Scale the threshold to the real heap:
+    # a 24g driver keeps 64 MB; a 1g driver drops to ~32 MB and lets big
+    # builds fall back to shuffle joins instead of dying.
+    try:
+        max_heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        thr = min(64 * 1024 * 1024, max(16 * 1024 * 1024, max_heap // 32))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(thr))
+    except Exception:
+        pass  # non-JVM backends (connect) — keep the builder default
     return spark
