@@ -33,10 +33,10 @@ def stages(spark, n: int):
     import bench
 
     def s0_frontier():
-        return bench.synth_frontier(spark, n)
+        return bench.materialized_frontier(spark, n)
 
     def s1_canon():
-        frontier = bench.synth_frontier(spark, n)
+        frontier = bench.materialized_frontier(spark, n)
         return (
             udfs.canonicalize_split(frontier, "base_url", "raw_link", "url")
             .select("priority", "seq", "url")
@@ -114,9 +114,7 @@ def stages(spark, n: int):
             "seq",
             F.posexplode(udfs.find_links_col(F.col("serve_html"))).alias("pos", "raw"),
         )
-        return extracted.withColumn(
-            "link", udfs.canonicalize_url_udf(F.col("url"), F.col("raw"))
-        )
+        return udfs.canonicalize_split(extracted, "url", "raw", "link")
 
     return {
         "s0_frontier": s0_frontier,

@@ -56,6 +56,39 @@ class TestPolitenessPlan:
             map(tuple, p2.select("url", "scheduled_offset").collect())
         )
 
+    def test_hot_group_bucketing_matches_sequential_scan(self, spark):
+        """The two-phase parallel scan (order-aligned buckets + bucket-base
+        cumsum) must reproduce the sequential per-group scan exactly up to
+        float-association drift, including mixed priorities and a carry-in
+        state, with cold domains byte-identical."""
+        import numpy as np
+
+        rows = (
+            [(f"http://hot.com/{i}", "hot.com", i % 3, i) for i in range(5000)]
+            + [(f"http://cold.com/{i}", "cold.com", 0, 10_000 + i) for i in range(40)]
+        )
+        state = spark.createDataFrame(
+            [("hot.com", "", 7.25)], P.DOMAIN_STATE_SCHEMA
+        )
+        seq_plan, _ = P.plan_schedule(
+            make_batch(spark, rows), state, DELAY, VARIANCE, seed=7,
+            hot_group_rows=None,
+        )
+        bkt_plan, _ = P.plan_schedule(
+            make_batch(spark, rows), state, DELAY, VARIANCE, seed=7,
+            hot_group_rows=500,
+        )
+        a = {r["url"]: r["scheduled_offset"] for r in seq_plan.collect()}
+        b = {r["url"]: r["scheduled_offset"] for r in bkt_plan.collect()}
+        assert set(a) == set(b)
+        av = np.array([a[u] for u in sorted(a)])
+        bv = np.array([b[u] for u in sorted(a)])
+        assert np.allclose(av, bv, rtol=1e-12, atol=1e-9)
+        # cold domain below the threshold: unbucketed path, exactly equal
+        assert all(
+            a[u] == b[u] for u in a if u.startswith("http://cold.com/")
+        )
+
     def test_salting_splits_hot_domain(self, spark):
         rows = [(f"http://hot.com/{i}", "hot.com", 0, i) for i in range(200)]
         state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)

@@ -81,6 +81,9 @@ def test_canonicalize_tiered_parity_random(spark):
         "http://d5.com",
         "http://d5.com/a/b/c.html",
         "http://d5.com/p?q=1",
+        "http://d5.com/a//b/c.html",  # base dir with empty segment
+        "http://d5.com/a/../b/c.html",  # base dir with dot segment
+        "http://d5.com/w/x/y/z/deep.html",
     ]
     links = [
         "page7.html",
@@ -103,6 +106,39 @@ def test_canonicalize_tiered_parity_random(spark):
         ".",
         "page.html#x?y",
         "x=../q.html",
+        # tier-R dot-segment shapes (JVM resolution must match urljoin)
+        "../p7.html#frag",
+        "../../p.html",
+        "../../../../../p.html",  # excess .. clamps at root
+        "../x/../y.html",
+        "a/./b.html",
+        "p/../q.html",
+        "p/..",
+        "p/.",
+        "../",
+        "./",
+        "a/b/../../c/d/../e.html",
+        "../" * (udfs._MAX_JVM_DOTDOT + 1) + "deep.html",  # falls to Python
+        "../" * udfs._MAX_JVM_DOTDOT + "edge.html",  # depth boundary
+        "..p.html",  # dots inside a normal segment
+        "p..html",
+        "a.../b.html",
+        # empty-segment quirk: urljoin collapses '//' — must NOT stay JVM
+        "a//b.html",
+        "a//../b.html",
+        "a/b//",
+        # trailing-'?' quirk: urljoin drops a bare '?'
+        "p.html?",
+        "p.html?a=?",
+        "../q.html?redir=http://x.com/y",
+        # root-relative: replaces the base path wholesale (tier R)
+        "/rooted/deep.html",
+        "/rooted.html?a=1",
+        "/",
+        "/..",
+        "/a/../b.html",
+        "/a//b.html",  # empty segment: kernel's job
+        "/./x.html",
     ]
     cases = list(itertools.product(bases, links))
     df = spark.createDataFrame(cases, "base string, link string")
@@ -111,6 +147,47 @@ def test_canonicalize_tiered_parity_random(spark):
     for r in out:
         expected = canonicalize_url(r["base"], r["link"])
         assert r["canon"] == expected, f"({r['base']!r}, {r['link']!r}): {r['canon']!r} != {expected!r}"
+
+
+def test_canonicalize_fuzz_parity(spark):
+    """Seeded random link shapes: segment soup with dot segments, empty
+    segments, escapes, entities, queries — split output must equal the
+    kernel for every one (the tier router can only change WHERE a link is
+    resolved, never the value)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    segs = ["a", "bb", "c.html", "..", ".", "", "%7E", "&amp;x", "x=1",
+            "p q", "ü", "..d", "d..", "...", "a.b.c"]
+    cases = []
+    bases = [
+        "http://h.com/d1/d2/index.html",
+        "http://h.com/d1/",
+        "http://h.com/",
+        "http://h.com",
+        "http://h.com/a//b/x.html",
+    ]
+    for _ in range(600):
+        n = rng.randint(1, 6)
+        link = "/".join(rng.choice(segs) for _ in range(n))
+        r = rng.random()
+        if r < 0.25:
+            link += rng.choice(["?a=1", "?", "#f", "?a=1&amp;b=2", "#", "?x"])
+        if rng.random() < 0.15:
+            link = "/" + link
+        if rng.random() < 0.10:
+            link = "http://abs.com/" + link
+        if rng.random() < 0.05:
+            link = "//" + link
+        cases.append((rng.choice(bases), link))
+    df = spark.createDataFrame(cases, "base string, link string")
+    out = udfs.canonicalize_split(df, "base", "link", "canon").collect()
+    assert len(out) == len(cases)
+    for r in out:
+        expected = canonicalize_url(r["base"], r["link"])
+        assert r["canon"] == expected, (
+            f"({r['base']!r}, {r['link']!r}): {r['canon']!r} != {expected!r}"
+        )
 
 
 def test_extension_and_media_gate(spark):

@@ -217,10 +217,18 @@ def is_html(content: str | None) -> bool:
 
 
 def canonicalize_url_series(base: pd.Series, link: pd.Series) -> pd.Series:
-    """Vectorized canonicalize_url over aligned Series (UDF body)."""
+    """Vectorized canonicalize_url over aligned Series (UDF body).
+
+    A null base short-circuits to "" without entering the kernel: the
+    tiered split (udfs.canonicalize_split) NULL-gates the UDF's inputs for
+    rows the JVM tiers already resolved, so in the hot path most rows are
+    nulls that must cost only the Arrow transfer."""
+    bv, lv = base.to_numpy(), link.to_numpy()
     out = [
-        canonicalize_url(b if isinstance(b, str) else "", l if isinstance(l, str) else "")
-        for b, l in zip(base.to_numpy(), link.to_numpy())
+        canonicalize_url(b, l if isinstance(l, str) else "")
+        if isinstance(b, str)
+        else ""
+        for b, l in zip(bv, lv)
     ]
     return pd.Series(out, index=base.index, dtype="object")
 

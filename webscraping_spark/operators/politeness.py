@@ -50,6 +50,7 @@ def plan_schedule(
     variance: float = 0.5,
     seed: int = 42,
     proxy_col: str | None = None,
+    hot_group_rows: int | None = 50_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign ``scheduled_offset`` (seconds from superstep start) to each
     row of the batch and roll ``domain_state`` forward.
@@ -61,26 +62,110 @@ def plan_schedule(
     carry_in, 0 for unseen domains), and successive fetches are spaced by
     the jittered delay — exactly the reference's next-allowed arithmetic
     with the sleep replaced by a plan.
+
+    Distributed grouped prefix-sum, hot groups SPLIT. Hash partitioning
+    on (domain, proxy) keeps each politeness group whole for a single
+    vectorized numpy scan — but a Zipf-hot mega-domain then serializes
+    the stage into one straggler task (measured: the planning stage
+    scaled 1.2x across a 4x core step). With ``hot_group_rows`` set, any
+    group above it is cut into order-aligned buckets: a group-monotonic
+    order key (priority-major, seq-minor) is range-sliced into
+    ``ceil(count / hot_group_rows)`` buckets, each bucket prefix-scans
+    independently (parallel tasks), and a per-bucket total + window
+    cumsum over the TINY bucket table supplies each bucket's carry-in
+    base — a classic two-phase parallel scan whose only extra cost is
+    one narrow pre-aggregation over the batch. Cold groups keep bucket 0
+    and the exact single-scan path; ``hot_group_rows=None`` disables the
+    machinery entirely (the crawl loop does this — its batches are
+    driver-bounded and the pre-agg job would cost more than it saves).
+
+    NOTE: splitting changes float-summation ASSOCIATION for hot groups
+    (bucket subtotals then local prefixes); drift is ~1 ulp per bucket
+    and tested against the unbucketed scan with np.isclose.
     """
     proxy = F.col(proxy_col) if proxy_col else F.lit("")
     b = batch.withColumn("_proxy", proxy).withColumn(
         "_jitter", jitter_col(delay, variance, seed)
     )
-    # Distributed grouped prefix-sum. A naive
-    # Window.partitionBy(domain).orderBy(...) cumsum is semantically what we
-    # want, but Spark's window implementation buffers rows and a
-    # repartitionByRange two-phase scan pays a sampling pass (one full
-    # upstream re-evaluation) plus cross-partition offset plumbing. Hash
-    # partitioning on (domain, proxy) needs ONE shuffle pass, keeps each
-    # politeness group whole, and the in-partition grouped running sum is a
-    # vectorized numpy scan. A mega-domain makes its partition larger, but
-    # the scan is O(rows) numpy — measured cheaper than the range variant's
-    # extra upstream pass at every skew level we generate; execution-side
-    # straggler relief stays where it belongs, in salted_repartition after
-    # planning.
+
+    hot_bases = None
+    if hot_group_rows is not None:
+        # the pre-agg + totals + scan would each re-evaluate the batch's
+        # upstream plan; persist() shares one materialization across the
+        # passes. NOT localCheckpoint: truncated lineage cannot recompute
+        # an evicted block, and at 64M rows eviction under memory
+        # pressure killed the job ("Block rdd_N does not exist") —
+        # persist blocks recompute, trading speed for survival
+        b = b.persist()
+        # group-monotonic order key: order within a group is
+        # (priority desc, seq asc) ⇒ ord = (P_MAX - priority) * S + seq
+        # is strictly increasing along it (S > max seq)
+        glob = b.agg(
+            F.max("priority").alias("pmax"), F.max("seq").alias("smax")
+        ).collect()[0]
+        if glob["smax"] is not None:
+            p_max, s_span = int(glob["pmax"]), int(glob["smax"]) + 1
+            ord_col = (
+                (F.lit(p_max) - F.col("priority")).cast("long") * F.lit(s_span)
+                + F.col("seq")
+            )
+            b = b.withColumn("_ord", ord_col)
+            stats = b.groupBy("domain", "_proxy").agg(
+                F.count("*").alias("_cnt"),
+                F.min("_ord").alias("_omin"),
+                F.max("_ord").alias("_omax"),
+            )
+            hot = stats.filter(F.col("_cnt") > hot_group_rows).select(
+                "domain",
+                "_proxy",
+                F.ceil(F.col("_cnt") / F.lit(hot_group_rows)).alias("_nb"),
+                "_omin",
+                (F.col("_omax") - F.col("_omin") + 1).alias("_ospan"),
+            )
+            # hot-group table is <= n / hot_group_rows rows — broadcast
+            b = b.join(F.broadcast(hot), ["domain", "_proxy"], "left")
+            b = b.withColumn(
+                "_bucket",
+                F.when(F.col("_nb").isNull(), F.lit(0)).otherwise(
+                    F.floor(
+                        (F.col("_ord") - F.col("_omin"))
+                        * F.col("_nb")
+                        / F.col("_ospan")
+                    ).cast("int")
+                ),
+            ).drop("_ord", "_omin", "_ospan")
+            # per-bucket jitter totals -> cumulative base per bucket
+            # (tiny: one row per hot bucket)
+            totals = (
+                b.filter(F.col("_nb").isNotNull())
+                .groupBy("domain", "_proxy", "_bucket")
+                .agg(F.sum("_jitter").alias("_tot"))
+            )
+            wb = (
+                Window.partitionBy("domain", "_proxy")
+                .orderBy(F.col("_bucket").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            hot_bases = totals.select(
+                "domain",
+                "_proxy",
+                "_bucket",
+                F.coalesce(F.sum("_tot").over(wb), F.lit(0.0)).alias("_bbase"),
+            )
+            b = b.drop("_nb")
+    if "_bucket" not in b.columns:
+        b = b.withColumn("_bucket", F.lit(0))
+
     n_parts = batch.sparkSession.sparkContext.defaultParallelism
-    order = [F.col("domain"), F.col("_proxy"), F.col("priority").desc(), F.col("seq").asc()]
-    arranged = b.repartition(n_parts, "domain", "_proxy").sortWithinPartitions(*order)
+    order = [
+        F.col("domain"),
+        F.col("_proxy"),
+        F.col("priority").desc(),
+        F.col("seq").asc(),
+    ]
+    arranged = b.repartition(
+        n_parts, "domain", "_proxy", "_bucket"
+    ).sortWithinPartitions(*order)
 
     from pyspark.sql import types as T
 
@@ -99,8 +184,16 @@ def plan_schedule(
                 continue
             prior = np.zeros(len(pdf))
             jit = pdf["_jitter"].to_numpy()
-            keys = list(zip(pdf["domain"].to_numpy(), pdf["_proxy"].to_numpy()))
-            # rows arrive sorted by (domain, proxy, order); group-contiguous
+            keys = list(
+                zip(
+                    pdf["domain"].to_numpy(),
+                    pdf["_proxy"].to_numpy(),
+                    pdf["_bucket"].to_numpy(),
+                )
+            )
+            # rows arrive sorted by (domain, proxy, order); buckets are
+            # order-aligned slices, so (domain, proxy, bucket) runs are
+            # contiguous too
             start = 0
             for i in range(1, len(pdf) + 1):
                 if i == len(pdf) or keys[i] != keys[start]:
@@ -115,6 +208,13 @@ def plan_schedule(
             yield out[out_cols]
 
     b = arranged.mapInPandas(local_scan, schema)
+    if hot_bases is not None:
+        b = b.join(
+            F.broadcast(hot_bases), ["domain", "_proxy", "_bucket"], "left"
+        ).withColumn(
+            "_prior_delay",
+            F.col("_prior_delay") + F.coalesce(F.col("_bbase"), F.lit(0.0)),
+        ).drop("_bbase")
     state = domain_state.withColumnRenamed("proxy", "_proxy")
     planned = (
         b.join(F.broadcast(state), ["domain", "_proxy"], "left")
@@ -139,7 +239,7 @@ def plan_schedule(
         "left_anti",
     )
     return (
-        planned.drop("_proxy", "_jitter", "_prior_delay"),
+        planned.drop("_proxy", "_jitter", "_prior_delay", "_bucket"),
         new_state.unionByName(carried),
     )
 

@@ -749,6 +749,11 @@ class CrawlJob:
             delay=cfg.delay,
             variance=cfg.variance,
             seed=cfg.seed,
+            # crawl batches are driver-bounded (<= batch_size): the
+            # hot-group pre-agg job would cost more than the straggler
+            # it prevents, and disabling it keeps the float summation
+            # order byte-identical to the sequential oracle
+            hot_group_rows=None,
         )
         # truncate the domain-state lineage EVERY superstep: its plan
         # chains a mapInPandas + join + groupBy per step, and Catalyst

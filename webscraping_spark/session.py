@@ -44,9 +44,21 @@ def get_spark(
     _tune_worker_allocator()
     cores = cores or default_parallelism()
     master = master or f"local[{cores}]"
+    # Catalyst's generated processNext for wide expression trees (the
+    # tiered canonicalizer's predicate ladder compiles to ~28 KB) exceeds
+    # HotSpot's 8 KB DontCompileHugeMethods limit, so the hot loop runs
+    # INTERPRETED — measured 10-30x slower. Lifting the limit lets the JIT
+    # compile it (the same knob large Spark deployments set by default).
+    # Builder-set extraJavaOptions only applies when this process launches
+    # the JVM (plain `python`); under spark-submit pass
+    # --driver-java-options "-XX:-DontCompileHugeMethods" (bench_scaling
+    # does).
+    java_opts = "-XX:-DontCompileHugeMethods"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.extraJavaOptions", java_opts)
+        .config("spark.executor.extraJavaOptions", java_opts)
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
@@ -58,6 +70,21 @@ def get_spark(
         # syscall-bound at high core counts (measured: 5k-row batches are
         # 2.3x slower than 100k at local[32]); ~20 MB/batch/worker is cheap
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # local-bench tables are 100 MB-class: the 128 MB default packs a
+        # whole table into 1-2 scan splits and serializes every downstream
+        # map stage regardless of core count (measured: canonicalize at
+        # local[16] == local[4]). 8 MB splits give full parallelism here;
+        # at real 100-TB scale files are 128 MB-class and a cluster conf
+        # would restore the default.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # same small-data trap on the shuffle side: AQE coalesces
+        # post-shuffle partitions toward 64 MB, so a 400 MB shuffle runs
+        # ~7 tasks no matter how many cores exist. 8 MB advisory keeps
+        # every core busy at bench scale; a 100-TB cluster conf would
+        # restore the default.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
