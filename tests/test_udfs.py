@@ -70,7 +70,11 @@ def test_clean_link_predicate_is_conservative(spark):
         assert canonicalize_url(r["base"], r["link"]) == r["link"]
 
 
-def test_canonicalize_tiered_parity_random(spark):
+import pytest
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_canonicalize_tiered_parity_random(spark, compact):
     """Randomized parity sweep over link shapes that straddle the JVM
     fast-path tier boundaries (tier routing must never change the value)."""
     import itertools
@@ -142,14 +146,15 @@ def test_canonicalize_tiered_parity_random(spark):
     ]
     cases = list(itertools.product(bases, links))
     df = spark.createDataFrame(cases, "base string, link string")
-    out = udfs.canonicalize_split(df, "base", "link", "canon").collect()
+    out = udfs.canonicalize_split(df, "base", "link", "canon", compact=compact).collect()
     assert len(out) == len(cases)
     for r in out:
         expected = canonicalize_url(r["base"], r["link"])
         assert r["canon"] == expected, f"({r['base']!r}, {r['link']!r}): {r['canon']!r} != {expected!r}"
 
 
-def test_canonicalize_fuzz_parity(spark):
+@pytest.mark.parametrize("compact", [False, True])
+def test_canonicalize_fuzz_parity(spark, compact):
     """Seeded random link shapes: segment soup with dot segments, empty
     segments, escapes, entities, queries — split output must equal the
     kernel for every one (the tier router can only change WHERE a link is
@@ -181,7 +186,7 @@ def test_canonicalize_fuzz_parity(spark):
             link = "//" + link
         cases.append((rng.choice(bases), link))
     df = spark.createDataFrame(cases, "base string, link string")
-    out = udfs.canonicalize_split(df, "base", "link", "canon").collect()
+    out = udfs.canonicalize_split(df, "base", "link", "canon", compact=compact).collect()
     assert len(out) == len(cases)
     for r in out:
         expected = canonicalize_url(r["base"], r["link"])

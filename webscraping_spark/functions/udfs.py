@@ -197,8 +197,8 @@ def resolve_relative_col(base: Column, rel_path: Column, rel_query: Column) -> C
     return F.concat(base_root, p, rel_query)
 
 
-def canonicalize_split(df, base_col: str, link_col: str, out_col: str):
-    """Tiered canonicalization, single pass.
+def canonicalize_split(df, base_col: str, link_col: str, out_col: str, compact: bool = False):
+    """Tiered canonicalization.
 
     Tiers:
       tier 0  clean absolute links: provable normalize fixpoints — project
@@ -327,8 +327,7 @@ def canonicalize_split(df, base_col: str, link_col: str, out_col: str):
 
     # NULL links route to the kernel (which maps them to "")
     jvm_side = F.coalesce(tier0 | tierR, F.lit(False))
-    jvm_df = df.filter(jvm_side).withColumn(
-        out_col,
+    jvm_out = (
         F.when(tier0, link)
         .when(
             ~has_dotseg,
@@ -342,8 +341,22 @@ def canonicalize_split(df, base_col: str, link_col: str, out_col: str):
                 decoded,
             ),
         )
-        .otherwise(resolve_relative_col(base, rel_path, rel_query)),
+        .otherwise(resolve_relative_col(base, rel_path, rel_query))
     )
+    if compact:
+        # SINGLE-pass form for bounded batches whose upstream is expensive
+        # to re-evaluate (the crawl superstep's join+explode chain): the
+        # UDF runs over every row but its inputs are NULL-gated, so JVM
+        # rows cost only the Arrow transfer (~2.4 us/row/core) and the
+        # kernel short-circuits them (canonicalize_url_series). Preserves
+        # per-partition row order; evaluates upstream ONCE.
+        udf_out = canonicalize_url_udf(
+            F.when(~jvm_side, base), F.when(~jvm_side, link)
+        )
+        return df.withColumn(
+            out_col, F.when(jvm_side, jvm_out).otherwise(udf_out)
+        )
+    jvm_df = df.filter(jvm_side).withColumn(out_col, jvm_out)
     py_df = df.filter(~jvm_side).withColumn(
         out_col, canonicalize_url_udf(base, link)
     )

@@ -886,7 +886,12 @@ class CrawlJob:
         # the dirty tail pays the Arrow round-trip (parity-tested split —
         # the round-1 hot path sent EVERY link through the pandas UDF);
         # registrable domain likewise via the codegen twin of the UDF
-        links = udfs.canonicalize_split(links, "serve_base", "raw", "link")
+        # compact (single-pass, NULL-gated UDF) form: the filter-split
+        # variant would re-evaluate this superstep's join+explode chain
+        # once per branch
+        links = udfs.canonicalize_split(
+            links, "serve_base", "raw", "link", compact=True
+        )
         links = links.withColumn("link_domain", udfs.get_domain_col(F.col("link")))
         valid = (
             ~udfs.is_media_link_col(F.col("link"))
