@@ -356,10 +356,13 @@ class TestSeenSetParity:
     def test_robots_gate_drops_subtree(self, spark):
         pages = synth.site_dirty_links()
         domain = "dirty.com"
-        robots_rows = [(domain, "*", "disallow", "/dir/q.html", 0), (domain, "*", "allow", "", 1)]
-        robots_df = spark.createDataFrame(
-            robots_rows, "domain string, agent string, rule string, path_prefix string, order int"
-        )
+        robots_rows = [
+            (domain, "*", "disallow", "/dir/q.html", 0, 0),
+            (domain, "*", "allow", "", 1, 0),
+        ]
+        from webscraping_spark.operators.robots import ROBOTS_SCHEMA
+
+        robots_df = spark.createDataFrame(robots_rows, ROBOTS_SCHEMA)
         robots_dict = {domain: [("*", "disallow", "/dir/q.html"), ("*", "allow", "")]}
         exp, job = run_both(
             spark, pages, [pages[0]["url"]],

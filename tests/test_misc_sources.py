@@ -33,6 +33,65 @@ class TestReadList:
         assert unique_rows(seeds, ["url"]).count() == 2
 
 
+class TestUnicodeWriterExtras:
+    """UnicodeWriter BOM / append / auto_repair parity
+    (common.py:564-606)."""
+
+    SCHEMA = "k string, v int"
+
+    def test_utf8_bom_on_every_part(self, spark, tmp_path):
+        from webscraping_spark.operators.sinks import write_unique_csv
+
+        out = str(tmp_path / "bom_out")
+        df = spark.createDataFrame([("a", 1), ("b", 2)], self.SCHEMA).repartition(2)
+        write_unique_csv(df, out, header=True, utf8_bom=True)
+        import glob
+
+        parts = sorted(glob.glob(out + "/part-*"))
+        assert parts
+        for p in parts:
+            assert open(p, "rb").read()[:3] == b"\xef\xbb\xbf"
+        back = spark.read.schema(self.SCHEMA).option("header", "true").csv(out)
+        assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("b", 2)}
+
+    def test_append_dedups_against_existing_file(self, spark, tmp_path):
+        """Constructor pre-seeds the seen set from the existing file
+        (common.py:580-582): appended rows with an on-disk key are dropped,
+        keeping the on-disk occurrence."""
+        from webscraping_spark.operators.sinks import write_unique_csv
+
+        out = str(tmp_path / "append_out")
+        first = spark.createDataFrame([("a", 1), ("b", 2)], self.SCHEMA)
+        write_unique_csv(first, out, unique_by=["k"], header=False)
+        second = spark.createDataFrame([("b", 99), ("c", 3)], self.SCHEMA)
+        write_unique_csv(second, out, unique_by=["k"], header=False, mode="append")
+        back = spark.read.schema(self.SCHEMA).csv(out)
+        got = {(r["k"], r["v"]) for r in back.collect()}
+        # 'b' keeps the on-disk value 2, not the appended 99
+        assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+    def test_auto_repair_drops_malformed_rows(self, spark, tmp_path):
+        from webscraping_spark.operators.sinks import repair_csv, write_unique_csv
+
+        out = tmp_path / "repair_out"
+        out.mkdir()
+        (out / "part-00000.csv").write_text("a,1\nbroken-row\nb,2\nc,notint\n")
+        repair_csv(spark, str(out), self.SCHEMA, header=False)
+        back = spark.read.schema(self.SCHEMA).csv(str(out))
+        assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("b", 2)}
+        # and via the writer's append path
+        more = spark.createDataFrame([("d", 4)], self.SCHEMA)
+        (out / "late-bad.csv").write_text("oops\n")
+        write_unique_csv(
+            more, str(out), unique_by=["k"], header=False, mode="append",
+            auto_repair=True,
+        )
+        back = spark.read.schema(self.SCHEMA).csv(str(out))
+        assert {(r["k"], r["v"]) for r in back.collect()} == {
+            ("a", 1), ("b", 2), ("d", 4),
+        }
+
+
 class TestUserAgents:
     def test_deterministic_and_from_pool(self):
         a1 = agent_for("http://x.com/page")

@@ -112,8 +112,8 @@ class TestRobotsGate:
         rules = self.make_rules(
             spark,
             [
-                ("a.com", "*", "disallow", "/private", 0),
-                ("a.com", "*", "allow", "", 1),
+                ("a.com", "*", "disallow", "/private", 0, 0),
+                ("a.com", "*", "allow", "", 1, 0),
             ],
         )
         cands = self.make_candidates(
@@ -128,8 +128,8 @@ class TestRobotsGate:
         rules = self.make_rules(
             spark,
             [
-                ("a.com", "*", "disallow", "/", 0),
-                ("a.com", "testbot", "allow", "/", 0),
+                ("a.com", "*", "disallow", "/", 0, 0),
+                ("a.com", "testbot", "allow", "/", 1, 1),
             ],
         )
         cands = self.make_candidates(spark, ["http://a.com/x"])
@@ -140,8 +140,8 @@ class TestRobotsGate:
         rules = self.make_rules(
             spark,
             [
-                ("a.com", "*", "allow", "/dir/open", 0),
-                ("a.com", "*", "disallow", "/dir", 1),
+                ("a.com", "*", "allow", "/dir/open", 0, 0),
+                ("a.com", "*", "disallow", "/dir", 1, 0),
             ],
         )
         cands = self.make_candidates(
@@ -171,10 +171,10 @@ Disallow: /
         from webscraping_spark.operators.robots import parse_robots_txt
 
         rows = parse_robots_txt("a.com", self.ROBOTS)
-        assert ("a.com", "*", "disallow", "/private", 0) in rows
-        assert ("a.com", "*", "allow", "/private/open", 1) in rows
-        assert ("a.com", "goodbot", "allow", "", 2) in rows
-        assert ("a.com", "badbot", "disallow", "/", 3) in rows
+        assert ("a.com", "*", "disallow", "/private", 0, 0) in rows
+        assert ("a.com", "*", "allow", "/private/open", 1, 0) in rows
+        assert ("a.com", "goodbot", "allow", "", 2, 1) in rows
+        assert ("a.com", "badbot", "disallow", "/", 3, 2) in rows
 
     def test_gate_matches_robotparser(self, spark):
         import urllib.robotparser
@@ -230,3 +230,85 @@ Disallow: /
             r["url"] for r in robots_gate(cands, rules, "specificbot").collect()
         }
         assert "http://a.com/bar" in allowed
+
+    ROBOTS_SUBSTRING = """
+User-agent: wswp
+Disallow: /w
+
+User-agent: good
+Disallow: /g
+
+User-agent: goodbot
+Disallow: /z
+
+User-agent: *
+Disallow: /all
+"""
+
+    def test_substring_agent_matching_matches_robotparser(self, spark):
+        """Entry.applies_to matches a section when the section's agent token
+        is a SUBSTRING of the UA's first '/'-separated token, lowercased —
+        'wswp/1.0' hits section 'wswp'; 'goodbot' hits section 'good'
+        (first applicable entry in file order, so 'goodbot's own later
+        section never fires); unknown UAs fall to '*' (round-2 verdict
+        Wrong #1)."""
+        import urllib.robotparser
+
+        from webscraping_spark.operators.robots import robots_gate, robots_table
+
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(self.ROBOTS_SUBSTRING.splitlines())
+        rules = robots_table(spark, {"a.com": self.ROBOTS_SUBSTRING})
+        urls = [
+            "http://a.com/w/1",
+            "http://a.com/g/1",
+            "http://a.com/z/1",
+            "http://a.com/all/1",
+            "http://a.com/",
+        ]
+        cands = spark.createDataFrame(
+            [(u, "a.com") for u in urls], "url string, domain string"
+        )
+        for agent in ("wswp/1.0", "goodbot/2.0", "GoodBot", "good", "unknown/9"):
+            allowed = {r["url"] for r in robots_gate(cands, rules, agent).collect()}
+            expected = {u for u in urls if rp.can_fetch(agent, u)}
+            assert allowed == expected, f"agent={agent}"
+        # spot-check the headline substring cases without the oracle too
+        got = {r["url"] for r in robots_gate(cands, rules, "wswp/1.0").collect()}
+        assert "http://a.com/w/1" not in got and "http://a.com/all/1" in got
+        got = {r["url"] for r in robots_gate(cands, rules, "goodbot/2.0").collect()}
+        # first applicable entry is 'good', NOT 'goodbot' — so goodbot's own
+        # later section (Disallow /z) never fires for it
+        assert "http://a.com/g/1" not in got and "http://a.com/z/1" in got
+
+    ROBOTS_STAR_FOLD = """
+User-agent: *
+Disallow: /x
+
+User-agent: helperbot
+User-agent: *
+Disallow: /y
+"""
+
+    def test_star_in_named_section_folds_to_default(self, spark):
+        """robotparser._add_entry: an entry with '*' among its agents IS the
+        default entry (named co-agents never match by name) and only the
+        first '*' entry counts — so helperbot's section here is dropped
+        entirely and helperbot is governed by the first '*' section."""
+        import urllib.robotparser
+
+        from webscraping_spark.operators.robots import robots_gate, robots_table
+
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(self.ROBOTS_STAR_FOLD.splitlines())
+        rules = robots_table(spark, {"a.com": self.ROBOTS_STAR_FOLD})
+        urls = ["http://a.com/x/a", "http://a.com/y/a", "http://a.com/"]
+        cands = spark.createDataFrame(
+            [(u, "a.com") for u in urls], "url string, domain string"
+        )
+        for agent in ("helperbot", "anybot"):
+            allowed = {r["url"] for r in robots_gate(cands, rules, agent).collect()}
+            expected = {u for u in urls if rp.can_fetch(agent, u)}
+            assert allowed == expected, f"agent={agent}"
+        got = {r["url"] for r in robots_gate(cands, rules, "helperbot").collect()}
+        assert "http://a.com/y/a" in got and "http://a.com/x/a" not in got

@@ -10,8 +10,8 @@ Operators:
   shingles            word k-shingle hash explode (building block)
   ngram_jaccard_pairs exact Jaccard over shingle sets (the oracle for the
                       approximate methods; self-join on shingle hash)
-  minhash_signatures  64-perm MinHash via one xxhash64 + 64 affine remixes
-                      (numpy, vectorized per Arrow batch)
+  minhash_signatures  64-perm MinHash via seeded xxhash64 remixes reduced
+                      by a 64-way JVM min aggregate (map-side combinable)
   lsh_candidate_pairs band the signatures, bucket-join, emit pairs
   minhash_near_dupes  LSH candidates filtered by estimated Jaccard
   simhash             64-bit SimHash over token hashes; near-dup via
@@ -21,8 +21,6 @@ Operators:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -95,17 +93,8 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (numpy kernel, Arrow-batched)
+# MinHash + LSH (pure JVM: remix with seeded xxhash64, 64-way min aggregate)
 # ---------------------------------------------------------------------------
-
-_MERSENNE = (1 << 61) - 1
-
-
-def _perm_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
-    return a, b
 
 
 def minhash_signatures(
@@ -119,21 +108,29 @@ def minhash_signatures(
     """(id, sig ARRAY<LONG>[n_hashes]) — MinHash over word-k-shingles.
 
     One base shingle hash per shingle (JVM xxhash64 via `shingles`), then
-    n affine remixes min-reduced per doc in a grouped numpy kernel:
-    sig[j] = min over shingles of (a_j * h + b_j mod M). Equivalent to n
-    independent permutations for Jaccard estimation.
+    n independent remixes min-reduced per doc entirely in the JVM:
+    sig[j] = min over shingles of xxhash64(shingle_hash, seed, j). The
+    seeded re-hash is an independent uniform hash per j, so
+    P[sig_a[j] == sig_b[j]] = Jaccard(a, b) exactly as with affine
+    permutations — but the reduction is a codegen HashAggregate with
+    map-side partial combine: each partition shuffles n_hashes longs per
+    doc instead of every shingle row into a per-doc Python group (the
+    round-2 per-doc pandas-call bottleneck, VERDICT r2 Perf #3).
     """
-    a, b = _perm_params(n_hashes, seed)
     sh = shingles(docs, k, text_col, id_col)
-
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["shingle_hash"].to_numpy(dtype=np.int64).astype(np.uint64) % _MERSENNE
-        # (n_shingles, n_hashes) affine remix in uint64 mod-Mersenne
-        vals = (h[:, None] * a.astype(np.uint64) + b.astype(np.uint64)) % _MERSENNE
-        sig = vals.min(axis=0).astype(np.int64)
-        return pd.DataFrame({"id": [pdf[id_col].iloc[0]], "sig": [sig.tolist()]})
-
-    return sh.groupBy(id_col).applyInPandas(per_doc, "id long, sig array<long>")
+    remixed = sh.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.xxhash64(F.col("shingle_hash"), F.lit(seed), F.lit(j)).alias(f"_h{j}")
+            for j in range(n_hashes)
+        ],
+    )
+    mins = remixed.groupBy("id").agg(
+        *[F.min(f"_h{j}").alias(f"_h{j}") for j in range(n_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_h{j}") for j in range(n_hashes)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
@@ -202,23 +199,37 @@ def minhash_near_dupes(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash LONG): sign of per-bit sums of token hashes.
 
-    Token hashing is JVM (xxhash64 on exploded tokens); the 64-bit
-    majority-vote reduction is a grouped numpy kernel.
+    Fully JVM: xxhash64 on exploded tokens, then the 64-bit majority vote
+    as 64 conditional SUMs in one codegen HashAggregate — bit i of the
+    signature is set when sum over tokens of (2*bit_i(hash) - 1) > 0.
+    Byte-identical to the former grouped-numpy kernel, but with map-side
+    partial aggregation: the shuffle carries 64 longs per doc per
+    partition instead of every token row into a per-doc Python group
+    (VERDICT r2 Perf #3).
     """
+    import functools
+
     toks = docs.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
     ).withColumn("tok_hash", F.xxhash64("tok"))
 
-    def reduce_bits(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["tok_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame({"id": [pdf[id_col].iloc[0]], "simhash": [np.int64(sig)]})
-
-    return toks.groupBy(id_col).applyInPandas(reduce_bits, "id long, simhash long")
+    bit = lambda i: F.shiftrightunsigned(F.col("tok_hash"), i).bitwiseAND(F.lit(1))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = functools.reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(
+                F.col(f"_v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:

@@ -5,11 +5,21 @@ the whole crawl (download.py:978, 1022) — note the reference reads the
 undefined ``settings.user_agent`` there (latent bug, SURVEY.md §7.4); the
 engine takes the agent explicitly.
 
-Rule semantics follow urllib.robotparser's documented behavior: within the
-best-matching agent section, the first rule (file order) whose path prefix
-matches the URL path decides; no matching rule (or no rules for the
-domain) means allowed. Agent specificity: rules for the exact agent beat
-``'*'`` rules.
+Entry/rule semantics follow urllib.robotparser exactly:
+
+* the file parses into *entries* (sections); consecutive ``User-agent``
+  lines share the following rules;
+* an entry containing ``*`` among its agents becomes the *default* entry —
+  the whole entry, including any named agents, which then never match by
+  name — and only the FIRST such entry counts (``_add_entry``);
+* ``can_fetch`` scans named entries in file order and uses the first one
+  that *applies to* the user agent: an entry applies when any of its agent
+  tokens, lowercased, is a **substring** of ``useragent.split('/')[0]
+  .lower()`` (``Entry.applies_to``). No applicable named entry → the
+  default entry decides; no default → allowed;
+* within the selected entry, the first rule (file order) whose path prefix
+  matches decides (``Entry.allowance``); a ``*`` path matches everything;
+  no matching rule means allowed; an empty ``Disallow`` value is allow-all.
 
 Rules live in a small per-domain table (FIXTURES.md §4) broadcast to the
 candidates — robots tables are tiny relative to frontiers (one row per
@@ -23,10 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ROBOTS_SCHEMA = "domain string, agent string, rule string, path_prefix string, order int"
+ROBOTS_SCHEMA = (
+    "domain string, agent string, rule string, path_prefix string, "
+    "order int, entry int"
+)
 
 
-def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, int]]:
+def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, int, int]]:
     """Parse robots.txt content into ROBOTS_SCHEMA rows.
 
     Follows urllib.robotparser's reading of the format: ``User-agent``
@@ -34,11 +47,38 @@ def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, i
     rules), ``Allow``/``Disallow`` lines append rules in file order, ``#``
     comments and unknown directives are ignored, and an empty Disallow
     value means allow-all (recorded as an allow with empty prefix).
+
+    ``entry`` numbers sections in file order; a section whose agents
+    include ``*`` is emitted with the single agent ``'*'`` (robotparser
+    folds the whole entry into the default entry) and only the first such
+    section is kept.
     """
-    rows: list[tuple[str, str, str, str, int]] = []
+    rows: list[tuple[str, str, str, str, int, int]] = []
     agents: list[str] = []
+    section: list[tuple[str, str, int]] = []
     expecting_agents = True
+    entry = 0
     order = 0
+    have_default = False
+
+    def flush() -> None:
+        nonlocal entry, have_default
+        if not agents or not section:
+            return
+        if "*" in agents:
+            # robotparser._add_entry: the whole entry becomes the default
+            # entry (named co-agents never match) and the first '*' entry
+            # wins; later ones are dropped.
+            if not have_default:
+                have_default = True
+                for rule, prefix, o in section:
+                    rows.append((domain, "*", rule, prefix, o, entry))
+        else:
+            for agent in agents:
+                for rule, prefix, o in section:
+                    rows.append((domain, agent, rule, prefix, o, entry))
+        entry += 1
+
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -48,7 +88,8 @@ def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, i
         value = value.strip()
         if key == "user-agent":
             if not expecting_agents:
-                agents = []
+                flush()
+                agents, section = [], []
                 expecting_agents = True
             agents.append(value)
         elif key in ("allow", "disallow"):
@@ -58,9 +99,9 @@ def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, i
             rule = "allow" if key == "allow" else "disallow"
             if key == "disallow" and value == "":
                 rule, value = "allow", ""
-            for agent in agents:
-                rows.append((domain, agent, rule, value, order))
+            section.append((rule, value, order))
             order += 1
+    flush()
     return rows
 
 
@@ -81,10 +122,13 @@ def robots_gate(
 ) -> DataFrame:
     """Filter candidates to rows robots.txt allows for ``user_agent``.
 
-    Plan shape: broadcast-join candidates x rules on domain, filter to
-    prefix-matching rules, pick the winning rule per URL with a min_by
-    aggregation (agent specificity, then file order), allow when the winner
-    allows or no rule matched.
+    Plan shape: select the applicable section per domain on the (small)
+    rules side — substring agent match per ``Entry.applies_to``, first
+    applicable named entry in file order, ``'*'`` default only for domains
+    with no applicable named entry — then broadcast-join candidates x
+    selected rules on domain, filter to prefix-matching rules, and pick the
+    winning rule per URL with a min_by aggregation (file order). Allow when
+    the winner allows or no rule matched.
     """
     path = F.coalesce(
         F.when(
@@ -95,16 +139,28 @@ def robots_gate(
     )
     cand = candidates.withColumn("_path", F.when(path == "", "/").otherwise(path))
 
-    # urllib.robotparser consults exactly ONE section per domain: the
-    # exact-agent section when it exists, else the '*' section. A '*' rule
-    # must never decide for a domain that has any exact-agent rows — even
-    # when none of the exact section's prefixes match the path (no match in
-    # the selected section means allowed).
-    exact = robots.filter(F.col("agent") == user_agent)
-    star = robots.filter(F.col("agent") == "*").join(
-        exact.select("domain").distinct(), "domain", "left_anti"
+    # Entry.applies_to: lowercase the agent token and test substring
+    # containment against the UA's first '/'-separated token. The agent
+    # string is constant for the gate, so this runs on the tiny rules side.
+    ua_token = user_agent.split("/")[0].lower()
+    named = robots.filter(
+        (F.col("agent") != "*")
+        & F.lit(ua_token).contains(F.lower(F.col("agent")))
     )
-    applicable = exact.unionByName(star)
+    # can_fetch scans entries in file order; the first applicable named
+    # entry decides alone.
+    first_entry = named.groupBy("domain").agg(F.min("entry").alias("_win_entry"))
+    named = (
+        named.join(first_entry, "domain")
+        .filter(F.col("entry") == F.col("_win_entry"))
+        .drop("_win_entry")
+    )
+    # The default entry is consulted last: only for domains where no named
+    # entry applied.
+    star = robots.filter(F.col("agent") == "*").join(
+        named.select("domain").distinct(), "domain", "left_anti"
+    )
+    applicable = named.unionByName(star)
 
     joined = cand.join(F.broadcast(applicable), "domain", "left")
     matches = joined.withColumn(
@@ -112,6 +168,7 @@ def robots_gate(
         F.col("path_prefix").isNotNull()
         & (
             (F.col("path_prefix") == "")
+            | (F.col("path_prefix") == "*")  # RuleLine.applies_to wildcard
             | F.col("_path").startswith(F.col("path_prefix"))
         ),
     )

@@ -43,11 +43,100 @@ def write_unique_csv(
     order_col: str | None = None,
     header: bool = True,
     mode: str = "overwrite",
+    utf8_bom: bool = False,
+    auto_repair: bool = False,
 ) -> None:
-    """Dedup + CSV write (UnicodeWriter end-to-end)."""
-    unique_rows(df, unique_by, order_col).write.mode(mode).option(
-        "header", str(header).lower()
-    ).csv(path)
+    """Dedup + CSV write (UnicodeWriter end-to-end, common.py:535-649).
+
+    ``mode='append'`` with dedup replays the writer's constructor behavior
+    of pre-seeding the seen set from the existing file (common.py:580-582):
+    new rows whose key already exists on disk are dropped, keeping the
+    on-disk first occurrence. ``auto_repair`` removes malformed rows from
+    the existing output before appending (``_remove_invalid_rows``,
+    common.py:590-606). ``utf8_bom`` stamps the Excel-compat UTF-8 BOM on
+    each part file (common.py:575-579) — per part file because each part is
+    the unit a consumer opens.
+    """
+    spark = df.sparkSession
+    out = unique_rows(df, unique_by, order_col)
+    if mode == "append":
+        if auto_repair:
+            repair_csv(spark, path, df.schema, header=header)
+        existing = _read_existing_csv(spark, path, df.schema, header)
+        if existing is not None:
+            keys = unique_by or df.columns
+            out = out.join(
+                F.broadcast(existing.select(*keys).distinct()), keys, "left_anti"
+            )
+    out.write.mode(mode).option("header", str(header).lower()).csv(path)
+    if utf8_bom:
+        _prepend_bom(path)
+        # part lengths changed under Spark's FileStatus cache
+        spark.catalog.refreshByPath(path)
+
+
+def _read_existing_csv(spark, path: str, schema, header: bool):
+    """Existing CSV output at ``path``, or None when absent."""
+    import os
+
+    if not os.path.isdir(path) and not os.path.isfile(path):
+        return None
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def repair_csv(spark, path: str, schema, header: bool = True) -> None:
+    """Drop malformed rows from an existing CSV output in place
+    (UnicodeWriter ``auto_repair`` / ``_remove_invalid_rows``,
+    common.py:590-606): rows that do not parse against the schema (e.g. a
+    raw newline split a record) are removed and the output rewritten
+    atomically via a tmp dir + rename, mirroring the reference's tmp-file
+    swap."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path) and not os.path.isfile(path):
+        return
+    good = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    tmp = path.rstrip("/") + ".repair.tmp"
+    good.write.mode("overwrite").option("header", str(header).lower()).csv(tmp)
+    target = path.rstrip("/")
+    if os.path.isdir(target) or os.path.isfile(target):
+        shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+    os.rename(tmp, target)
+    spark.catalog.refreshByPath(target)
+    spark.catalog.refreshByPath(tmp)
+
+
+def _prepend_bom(path: str) -> None:
+    """Prepend the UTF-8 BOM to every part file under ``path`` lacking one."""
+    import glob
+    import os
+
+    BOM = b"\xef\xbb\xbf"
+    parts = (
+        sorted(glob.glob(os.path.join(path, "part-*")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for part in parts:
+        with open(part, "rb") as fh:
+            data = fh.read()
+        if not data.startswith(BOM):
+            with open(part, "wb") as fh:
+                fh.write(BOM + data)
+            # the Hadoop local-FS checksum sidecar no longer matches
+            crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
 
 
 def read_list(spark, path: str) -> DataFrame:
