@@ -422,29 +422,95 @@ def q_excerpt_maxby(spark, sf_dir):
     )
 
 
-# --- rows-only queries (no SQL-expressible oracle; driver records the
-#     weaker check; correctness covered by tests/) ---------------------------
+# --- invariant queries with hard oracles (the ann_topk_subset pattern:
+#     the Spark side computes what only Spark can — LSH candidates, Arrow
+#     image decode, signature bands — and reduces it to a value the oracle
+#     derives independently: an exact-Jaccard pair set, a literal empty
+#     violation set, a full rolling-hash re-derivation, a count) -----------
 
 
 def q_minhash_near_dupes(spark, sf_dir):
-    from webscraping_spark.operators.dedup import minhash_near_dupes
+    """MinHash+LSH near-dup pairs with a HARD oracle: at threshold 0.5 on
+    the bounded doc set, the emitted pair set must equal the exact-Jaccard
+    >= 0.5 pair set (the planted near-dups sit at J >= 0.95 and every
+    other pair is < 0.05, so 64-hash estimation noise cannot flip
+    membership), and every emitted estimate must lie within 0.25 of the
+    exact Jaccard (>= 8 sigma at 64 hashes). The oracle recomputes the
+    exact shingle-Jaccard pairs in SQL and asserts est_ok=TRUE."""
+    from webscraping_spark.operators.dedup import (
+        minhash_near_dupes,
+        ngram_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return minhash_near_dupes(docs, threshold=0.2, n_hashes=64, n_bands=16)
+    pairs = minhash_near_dupes(docs, threshold=0.5, n_hashes=64, n_bands=16)
+    exact = ngram_jaccard_pairs(docs, threshold=0.4).select(
+        "id_a", "id_b", F.col("jaccard").alias("exact_j")
+    )
+    return pairs.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        (
+            F.abs(F.col("est_jaccard") - F.coalesce(F.col("exact_j"), F.lit(0.0)))
+            <= 0.25
+        ).alias("est_ok"),
+    )
 
 
 def q_simhash(spark, sf_dir):
-    from webscraping_spark.operators.dedup import simhash
+    """SimHash violation set (hard oracle: EMPTY). Two invariants that are
+    independent of the hash family: (a) docs with identical text must get
+    identical signatures; (b) docs with exact shingle-Jaccard >= 0.9 (the
+    planted near-dups) must land within Hamming distance 16 of each other
+    (a 1-2 token edit flips only bits whose majority vote was marginal)."""
+    from webscraping_spark.operators.dedup import ngram_jaccard_pairs, simhash
 
-    return simhash(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = simhash(docs)
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+
+    texts = docs.select(F.col("doc_id"), F.md5("text").alias("text_hash"))
+    tx = texts.select(F.col("doc_id").alias("id_a"), "text_hash")
+    ty = texts.select(F.col("doc_id").alias("id_b"), "text_hash")
+    ident = tx.join(ty, "text_hash").filter(F.col("id_a") < F.col("id_b"))
+    v_ident = (
+        ident.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(F.col("sh_a") != F.col("sh_b"))
+        .select("id_a", "id_b", F.lit("identical_text_sig_differs").alias("reason"))
+    )
+
+    near = ngram_jaccard_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    v_near = (
+        near.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(hamming > 16)
+        .select("id_a", "id_b", F.lit("high_jaccard_far_hamming").alias("reason"))
+    )
+    return v_ident.unionByName(v_near)
 
 
 def q_ann_topk(spark, sf_dir):
-    from webscraping_spark.operators.similarity import ann_topk
+    """ANN top-k violation set (hard oracle: EMPTY): every id ann_topk
+    returns must be inside the independently-computed exact cosine top-50
+    ball, AND the query vector's own id (vec 0, cosine 1.0 — it shares
+    every LSH bucket with itself, so missing it means the bucket routing
+    broke) must be among the results."""
+    from webscraping_spark.operators.similarity import ann_topk, cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ann_topk(emb, list(qvec), k=10, n_planes=8, probe_hamming=1)
+    ann = ann_topk(emb, list(qvec), k=10, n_planes=8, probe_hamming=2)
+    exact_ball = cosine_topk(emb, list(qvec), k=50)
+    outside = ann.select("vec_id").join(
+        exact_ball.select("vec_id"), "vec_id", "left_anti"
+    )
+    self_missing = spark.range(1).select(F.lit(0).cast("long").alias("vec_id")).join(
+        ann.select("vec_id"), "vec_id", "left_anti"
+    )
+    return outside.unionByName(self_missing)
 
 
 def q_ann_topk_subset(spark, sf_dir):
@@ -466,14 +532,21 @@ def q_ann_topk_subset(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint with a FULL re-derivation oracle:
+    the DuckDB SQL recomputes the winnowing min over 8-byte polynomial
+    rolling hashes (FNV prime, uint64 wraparound via HUGEINT mod 2^64)
+    from the raw text and must match the Arrow kernel bit-exactly."""
     from webscraping_spark.operators.textstats import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200))
 
 
 def q_image_verify(spark, sf_dir):
-    """Multimodal op: synthesize image pages from documents, then decode +
-    verify per-row (allclose / PSNR>=40 / phash) in Arrow batches."""
+    """Multimodal op: synthesize image pages from documents, decode +
+    verify per-row (allclose / PSNR>=40 / phash / caption equality) in
+    Arrow batches, then reduce to (n_images, n_verified) — the oracle
+    knows both counts must equal the doc count, so any silently failing
+    decode/verify flag hash-mismatches."""
     from webscraping_spark.operators.multimodal import verify_images
     from webscraping_spark.sources import synth
 
@@ -482,7 +555,18 @@ def q_image_verify(spark, sf_dir):
         synth.make_page(f"http://img.com/d{r['doc_id']}", [])
         for r in docs
     ]
-    return verify_images(synth.pages_df(spark, pages))
+    flags = verify_images(synth.pages_df(spark, pages))
+    all_ok = (
+        F.col("decode_ok")
+        & F.col("shape_ok")
+        & F.col("pixels_ok")
+        & F.col("phash_ok")
+        & F.col("caption_ok")
+    )
+    return flags.agg(
+        F.count("*").alias("n_images"),
+        F.sum(all_ok.cast("long")).alias("n_verified"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -548,7 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_topk_cosine": q_embedding_topk_cosine,
         "excerpt_maxby": q_excerpt_maxby,
-        # rows-only (non-SQL-expressible; see tests/ for correctness)
+        # invariant queries (hard oracles: exact pair set / empty violation
+        # set / full re-derivation / verified count)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -781,5 +866,87 @@ def oracle_sql() -> dict[str, str]:
             -- inside the exact cosine top-50 ball; the Spark side computes
             -- the set difference, which must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "minhash_near_dupes": """
+            -- exact word-3-shingle Jaccard pairs at >= 0.5 over the same
+            -- bounded doc set; the LSH path must emit exactly these pairs
+            -- (planted dups sit at J >= 0.95, all else < 0.05) with
+            -- estimates within 0.25 of exact (est_ok TRUE)
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(arr) - 2, 1) + 1)])) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+                      FROM documents WHERE doc_id < 200)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, true AS est_ok
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5
+        """,
+        "simhash": """
+            -- violation set: identical-text pairs with different simhash,
+            -- or exact-Jaccard >= 0.9 pairs beyond Hamming 16 — must be empty
+            SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+                   CAST(NULL AS VARCHAR) AS reason
+            WHERE 1 = 0
+        """,
+        "ann_topk": """
+            -- violation set: ann ids outside the exact cosine top-50 ball,
+            -- or the query vector's own id missing — must be empty
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "fingerprint": """
+            -- full re-derivation of the winnowing fingerprint: min over
+            -- 8-byte windows of the FNV-prime polynomial rolling hash of
+            -- the normalized (lowercase, whitespace-collapsed) utf-8 bytes,
+            -- uint64 wraparound done in HUGEINT mod 2^64, reinterpreted as
+            -- signed 64-bit. Must match the Arrow kernel bit-exactly.
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+                FROM documents WHERE doc_id < 200
+            ), b AS (
+                SELECT doc_id,
+                       list_transform(string_split(s, ''),
+                                      x -> unicode(x)::UBIGINT) AS bytes
+                FROM norm
+            ), h AS (
+                SELECT doc_id,
+                    CASE WHEN len(bytes) < 8
+                         THEN (list_sum(bytes)::UBIGINT
+                               + len(bytes)::UBIGINT)::UBIGINT
+                    -- coefficients: B^7..B^0 mod 2^64 for B=1099511628211
+                    ELSE list_min([
+                        ((bytes[i]::HUGEINT * 14218562807570617051
+                          + bytes[i+1]::HUGEINT * 15895002104753931833
+                          + bytes[i+2]::HUGEINT * 913917546033277539
+                          + bytes[i+3]::HUGEINT * 11527715348014283921
+                          + bytes[i+4]::HUGEINT * 624165263380053675
+                          + bytes[i+5]::HUGEINT * 956575116354345
+                          + bytes[i+6]::HUGEINT * 1099511628211
+                          + bytes[i+7]::HUGEINT) % 18446744073709551616)::UBIGINT
+                        FOR i IN range(1, len(bytes) - 8 + 2)
+                    ]) END AS u
+                FROM b
+            )
+            SELECT doc_id,
+                   (CASE WHEN u >= 9223372036854775808::UBIGINT
+                         THEN u::HUGEINT - 18446744073709551616::HUGEINT
+                         ELSE u::HUGEINT END)::BIGINT AS fingerprint
+            FROM h
+        """,
+        "image_verify": """
+            -- every synthesized image row must decode and verify on all
+            -- flags (pixels/psnr/phash/caption): n_verified == n_images
+            SELECT count(*) AS n_images, count(*) AS n_verified
+            FROM documents WHERE doc_id < 64
         """,
     }

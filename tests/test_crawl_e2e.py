@@ -11,6 +11,8 @@ from webscraping_spark.sources import synth
 
 def run_both(spark, pages, seeds, *, mode="bfs", max_depth=1, max_links=100,
              batch_size=1000, robots_df=None, robots_dict=None, max_urls=None):
+    if mode == "dfs":
+        batch_size = 1  # CrawlConfig rejects DFS at batch_size != 1
     oracle = SequentialOracle(
         {p["url"]: p for p in pages},
         OracleConfig(
@@ -105,6 +107,14 @@ class TestDfsParity:
         pages = synth.site_tree(branching=2, depth=2)
         exp, job = run_both(spark, pages, [pages[0]["url"]], mode="dfs", max_depth=None)
         assert job.visit_urls() == exp.visit_order
+
+    def test_dfs_rejects_batched_config(self, spark):
+        """DFS with batch_size != 1 must fail LOUDLY (no silent
+        approximation): exact LIFO parity is undefined for larger batches
+        because the next DFS visit is always a freshly-discovered link."""
+        with pytest.raises(ValueError, match="batch_size=1"):
+            CrawlConfig(mode="dfs", batch_size=8)
+        CrawlConfig(mode="dfs", batch_size=1)  # the supported form
 
     def test_dfs_differs_from_bfs(self, spark):
         pages = synth.site_tree(branching=2, depth=2)

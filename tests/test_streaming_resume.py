@@ -227,3 +227,90 @@ class TestSnapshotResume:
         assert not hasattr(job, "visit_log")
         assert not hasattr(job, "_visited_urls")
         assert len(job.last_batch_visits) <= 1000  # one batch, not the corpus
+
+
+class TestBucketedStateProbes:
+    """Verdict r2 item 2: with a snapshot catalog attached, seen/visited
+    full snapshots are hash-bucketed on pmod(url_hash, B) and per-superstep
+    probes partition-prune to the batch's buckets — probe input stays
+    O(batch + touched buckets + tail) as crawled state grows, never
+    O(corpus)."""
+
+    def _run_chain(self, spark, tmp_path, n=24, **cfg_kw):
+        pages = synth.site_chain(n)
+        ckpt = str(tmp_path / "ckpt_bucketed")
+        cfg = CrawlConfig(
+            max_depth=None, batch_size=1, compact_interval=4,
+            state_buckets=16, **cfg_kw,
+        )
+        job = CrawlJob(spark, synth.pages_df(spark, pages), cfg, checkpoint_dir=ckpt)
+        job.run([pages[0]["url"]])
+        return pages, ckpt, job
+
+    def test_probe_input_bounded_and_pruned(self, spark, tmp_path):
+        pages, ckpt, job = self._run_chain(spark, tmp_path, n=24)
+        # correctness first: the bucketed crawl visits the chain in order
+        assert job.visit_urls() == [p["url"] for p in pages]
+        # a bucketed base exists and the in-memory tail is bounded by
+        # compact_interval x batch (+ the post-compaction remainder)
+        assert job._visited_base_loc is not None
+        assert job._found_base_loc is not None
+        full_rows = job._visited_full().count()
+        tail_rows = job._visited.count()
+        assert full_rows == 24
+        assert tail_rows <= 4  # compact_interval * batch_size
+        # single-key probe view reads one bucket + tail, not the corpus
+        key = int(job._visited_full().select("url_hash").first()["url_hash"])
+        view_rows = job._visited_view([key]).count()
+        assert view_rows <= 8  # ~24/16 bucket rows + <=4 tail << 24
+        # the physical plan actually prunes partitions on the bucket column
+        pruned = job._pruned_base(job._visited_base_loc, [key % 16])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert "bucket" in plan
+
+    def test_probe_input_flat_as_state_grows(self, spark, tmp_path):
+        """The scale signal: crawling 3x more pages must NOT grow the
+        single-key probe view proportionally (O(bucket) vs O(corpus))."""
+        _, _, small = self._run_chain(spark, tmp_path / "a", n=8)
+        _, _, big = self._run_chain(spark, tmp_path / "b", n=24)
+        k_small = int(small._visited_full().select("url_hash").first()["url_hash"])
+        k_big = int(big._visited_full().select("url_hash").first()["url_hash"])
+        v_small = small._visited_view([k_small]).count()
+        v_big = big._visited_view([k_big]).count()
+        assert big._visited_full().count() == 3 * small._visited_full().count()
+        # probe view grows by at most the per-bucket share (24/16 vs 8/16
+        # rows) + tail, nowhere near 3x corpus growth
+        assert v_big <= v_small + 6
+        assert v_big < 10  # absolute bound << 24
+
+    def test_resume_restores_bucketed_base(self, spark, tmp_path):
+        """Kill mid-crawl after a compaction, restore: the bucketed base
+        must come back as the on-disk probe base (not re-materialized into
+        the tail) and the continued crawl must finish the chain with the
+        correct download accounting against the restored state."""
+        pages = synth.site_chain(8)
+        ckpt = str(tmp_path / "ckpt_bucketed_kill")
+        cfg = dict(max_depth=None, batch_size=1, compact_interval=4,
+                   state_buckets=16)
+        job = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(**cfg),
+            checkpoint_dir=ckpt,
+        )
+        # kill after 6 supersteps: one compaction (step 3) + 2 deltas
+        job.run([pages[0]["url"]], max_supersteps=6)
+        assert job.metrics.num_downloads == 6
+        j2 = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(**cfg),
+            checkpoint_dir=None,
+        )
+        j2.restore(ckpt)
+        assert j2._visited_base_loc is not None
+        # tail holds only the deltas since the step-3 compaction
+        assert j2._visited.count() <= 2
+        assert j2._visited_full().count() == 6
+        # continue: the remaining 2 pages download; probes answer against
+        # the restored base+tail split
+        j2.run([])
+        assert j2.metrics.num_downloads == 8
+        assert j2._visited_full().count() == 8

@@ -62,6 +62,7 @@ class SnapshotTable:
         lineage: dict[str, Any] | None = None,
         metrics: dict[str, Any] | None = None,
         mode: str = "full",
+        partition_by: str | None = None,
     ) -> int:
         """Write ``df`` as the next snapshot; atomic manifest rename.
 
@@ -71,15 +72,24 @@ class SnapshotTable:
         analog); ``load`` unions the delta chain back to the latest full
         snapshot. Callers compact (a full commit) on their checkpoint
         cadence so the chain the next read pays stays bounded.
+
+        ``partition_by`` hive-partitions the snapshot on that column
+        (the Iceberg bucket-partitioning analog): readers that filter on
+        it get partition pruning, which is what makes per-superstep state
+        probes O(touched buckets) instead of O(state) at 10^10-URL scale.
         """
         if mode not in ("full", "delta"):
             raise ValueError(f"unknown commit mode: {mode}")
         version = self.current_version() + 1
         snap_dir = os.path.join(self.table_dir, f"snap-{version:06d}")
-        df.write.mode("overwrite").parquet(snap_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(snap_dir)
         files = [
-            {"path": os.path.join(snap_dir, f), "bytes": os.path.getsize(os.path.join(snap_dir, f))}
-            for f in os.listdir(snap_dir)
+            {"path": os.path.join(d, f), "bytes": os.path.getsize(os.path.join(d, f))}
+            for d, _, fs in os.walk(snap_dir)
+            for f in fs
             if f.endswith(".parquet")
         ]
         manifest = {
@@ -88,6 +98,7 @@ class SnapshotTable:
             "superstep": superstep,
             "parent_version": version - 1,
             "mode": mode,
+            "partition_by": partition_by,
             "committed_at": time.time(),
             "location": snap_dir,
             "files": files,
@@ -102,24 +113,39 @@ class SnapshotTable:
         os.rename(tmp, self._manifest_path(version))  # atomic commit point
         return version
 
-    def chain_locations(self, version: int | None = None) -> list[str]:
-        """Data locations for a read at ``version``: the newest full
-        snapshot at-or-before it plus every delta after, oldest first."""
+    def chain_manifests(self, version: int | None = None) -> list[dict]:
+        """Manifests for a read at ``version``: the newest full snapshot
+        at-or-before it plus every delta after, oldest first."""
         v = self.current_version() if version is None else version
-        locs: list[str] = []
+        chain: list[dict] = []
         while v >= 0:
             manifest = self.read_manifest(v)
-            locs.append(manifest["location"])
+            chain.append(manifest)
             if manifest.get("mode", "full") == "full":
                 break
             v -= 1
-        return list(reversed(locs))
+        return list(reversed(chain))
+
+    def chain_locations(self, version: int | None = None) -> list[str]:
+        """Data locations for a read at ``version``, oldest first."""
+        return [m["location"] for m in self.chain_manifests(version)]
 
     def load(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
-        manifest = self.read_manifest(version)
-        if manifest is None:
+        chain = self.chain_manifests(version)
+        if not chain:
             return None
-        return spark.read.parquet(*self.chain_locations(version))
+        parts = []
+        for m in chain:
+            df = spark.read.parquet(m["location"])
+            if m.get("partition_by"):
+                # drop the hive-partition column: load() returns the
+                # logical table, bucketing is a physical layout detail
+                df = df.drop(m["partition_by"])
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
 
 
 def merge_tables(
