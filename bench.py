@@ -138,11 +138,26 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
             n // 4 // max(spark.sparkContext.defaultParallelism, 8), 1000
         ),
     ).add(seen_rows)
-    unseen = bloom.filter_unseen_prefilter(canon, exact)
+    # persist the two pass junctions: plan_schedule's hot-group stats and
+    # salted_repartition's skew stats are driver collects that would
+    # otherwise RE-EVALUATE the whole upstream (canonicalize + bloom ran
+    # 3x per measured run — profiled). The real crawl loop pins its
+    # (batch-bounded) equivalents driver-side; at bench frontier sizes the
+    # columnar cache is the same pinning. Caches are dropped per run by
+    # the caller (clearCache) so repeated runs don't stack storage.
+    # seen_join="broadcast": the seen side is n/5 8-byte hashes (26 MB at
+    # 16M rows) but Catalyst estimates it from the range() source and
+    # refuses the broadcast, shuffling ~830 MB of canonicalized URLs
+    # instead — with every bloom-cleared row's NULL probe key hashed into
+    # ONE skewed partition (profiled: the shuffle was the largest stage).
+    unseen = bloom.filter_unseen_prefilter(
+        canon, exact, seen_join="broadcast"
+    ).persist()
 
     # politeness plan (distributed grouped prefix sum) + salted repartition
     state = spark.createDataFrame([], politeness.DOMAIN_STATE_SCHEMA)
     planned, _ = politeness.plan_schedule(unseen, state, delay=5.0, variance=0.5, seed=42)
+    planned = planned.persist()
     salted = politeness.salted_repartition(planned, hot_threshold=5000, salt_rows_per_bucket=2000)
 
     # fetch stage: join against a page store (1 page per 4 candidate links)
@@ -191,6 +206,7 @@ def run_frontier_pipeline(spark, n: int, timings: dict) -> tuple[int, float]:
     t_warm = time.time()
     warm.write.format("noop").mode("overwrite").save()
     timings["warmup_pipeline"] = round(time.time() - t_warm, 3)
+    spark.catalog.clearCache()
 
     # run the measured pipeline TWICE in-session and keep the best: the
     # first full-size execution still pays JIT/codegen warm-in that the
@@ -202,6 +218,7 @@ def run_frontier_pipeline(spark, n: int, timings: dict) -> tuple[int, float]:
         links = _build_pipeline(spark, n, timings)
         links.write.format("noop").mode("overwrite").save()
         runs.append(time.time() - t0)
+        spark.catalog.clearCache()
     elapsed = min(runs)
     timings["fused_pipeline"] = round(elapsed, 3)
     timings["fused_pipeline_runs"] = [round(r, 3) for r in runs]

@@ -74,7 +74,7 @@ def stages(spark, n: int):
                 n // 4 // max(spark.sparkContext.defaultParallelism, 8), 1000
             ),
         ).add(rows)
-        return bloom.filter_unseen_prefilter(canon, exact)
+        return bloom.filter_unseen_prefilter(canon, exact, seen_join="broadcast")
 
     def s3_planned():
         state = spark.createDataFrame([], politeness.DOMAIN_STATE_SCHEMA)

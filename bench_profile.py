@@ -35,6 +35,7 @@ def main():
     # warmup (quarter size) then one measured run
     bench._build_pipeline(spark, max(n // 4, 10_000), None).write.format(
         "noop").mode("overwrite").save()
+    spark.catalog.clearCache()
     t0 = time.time()
     bench._build_pipeline(spark, n, None).write.format("noop").mode(
         "overwrite").save()
@@ -43,12 +44,18 @@ def main():
     app_id = spark.sparkContext.applicationId
     base = f"http://localhost:4099/api/v1/applications/{app_id}"
     stages = json.load(urllib.request.urlopen(f"{base}/stages?status=complete"))
+    jobs = json.load(urllib.request.urlopen(f"{base}/jobs"))
+    job_of_stage = {}
+    for j in jobs:
+        for sid in j.get("stageIds", []):
+            job_of_stage[sid] = (j["jobId"], j["name"].split("\n")[0][:60])
     rows = []
     tot = {"task_ms": 0, "cpu_ms": 0, "gc_ms": 0, "shuffle_r_mb": 0.0,
            "shuffle_w_mb": 0.0, "input_mb": 0.0}
     for s in stages:
         r = {
             "id": s["stageId"],
+            "job": job_of_stage.get(s["stageId"]),
             "attempt": s["attemptId"],
             "name": s["name"].split("\n")[0][:70],
             "tasks": s["numCompleteTasks"],

@@ -347,7 +347,11 @@ class BloomSeenSet:
     BROADCAST_STATE_LIMIT = 256 * 1024 * 1024
 
     def filter_unseen_prefilter(
-        self, candidates: DataFrame, exact: ExactSeenSet, on: str = "url_hash"
+        self,
+        candidates: DataFrame,
+        exact: ExactSeenSet,
+        on: str = "url_hash",
+        seen_join: str | None = None,
     ) -> DataFrame:
         """Bloom pre-filter + exact anti-join.
 
@@ -355,6 +359,16 @@ class BloomSeenSet:
         false negatives); only the might-be-seen slice pays the exact
         anti-join shuffle. With a healthy FP rate the anti-join input
         shrinks to ~|actually seen| + eps.
+
+        ``seen_join`` optionally pins the anti-join strategy ("broadcast" /
+        "shuffle_hash" / "merge"). Catalyst estimates the seen side's size
+        from its source relation; when the seen keys come out of a narrow
+        projection (8-byte hashes of wide rows) the estimate can overshoot
+        the broadcast threshold by orders of magnitude and force a full
+        shuffle of the CANDIDATE side — with the NULL probe keys of every
+        bloom-cleared row landing in a single skewed partition. A caller
+        that knows the seen side is broadcast-small passes "broadcast" and
+        the whole anti-join becomes map-side, no exchange at all.
         """
         state_bytes = self.P * (self.m // 8)
         if state_bytes <= self.BROADCAST_STATE_LIMIT:
@@ -368,6 +382,8 @@ class BloomSeenSet:
         # of the probe, and Catalyst broadcasts the seen side when small.
         probe_key = F.when(F.col("might_be_seen"), F.col(on))
         seen_keys = exact.df.select(F.col("url_hash").alias("_seen_hash"))
+        if seen_join:
+            seen_keys = seen_keys.hint(seen_join)
         return (
             flagged.withColumn("_probe_key", probe_key)
             .join(seen_keys, F.col("_probe_key") == F.col("_seen_hash"), "left_anti")
