@@ -131,34 +131,41 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
         F.lit(0).alias("depth"),
     )
     exact = ExactSeenSet(seen_rows)
+    # Dedup strategy is SIZE-ADAPTIVE (operators/seen.py): seen state that
+    # fits a broadcast (n/5 8-byte hashes = 26 MB at 16M rows) gets a pure
+    # in-codegen broadcast ANTI-join — Catalyst alone refuses it because it
+    # sizes the seen side from its range() source, hence the explicit
+    # seen_join="broadcast" (profiled un-hinted: an ~830 MB candidate-side
+    # shuffle with every bloom-cleared NULL probe key in ONE partition).
+    # The Bloom prefilter + cogroup probe + eager filter build belong to
+    # the >256 MB-state regime (10^10 URLs) where no broadcast exists; at
+    # bench state sizes the broadcast path never probes the Bloom, so
+    # building one from scratch each run would add two dead jobs (an
+    # eager 12.8M-item filter build) to every measurement. That regime's
+    # machinery is exercised by tests/test_seen.py and the crawl loop.
     bloom = BloomSeenSet.empty(
         spark,
         num_partitions=max(spark.sparkContext.defaultParallelism, 8),
         expected_items_per_partition=max(
             n // 4 // max(spark.sparkContext.defaultParallelism, 8), 1000
         ),
-    ).add(seen_rows)
-    # persist the two pass junctions: plan_schedule's hot-group stats and
-    # salted_repartition's skew stats are driver collects that would
-    # otherwise RE-EVALUATE the whole upstream (canonicalize + bloom ran
-    # 3x per measured run — profiled). The real crawl loop pins its
-    # (batch-bounded) equivalents driver-side; at bench frontier sizes the
-    # columnar cache is the same pinning. Caches are dropped per run by
-    # the caller (clearCache) so repeated runs don't stack storage.
-    # seen_join="broadcast": the seen side is n/5 8-byte hashes (26 MB at
-    # 16M rows) but Catalyst estimates it from the range() source and
-    # refuses the broadcast, shuffling ~830 MB of canonicalized URLs
-    # instead — with every bloom-cleared row's NULL probe key hashed into
-    # ONE skewed partition (profiled: the shuffle was the largest stage).
-    unseen = bloom.filter_unseen_prefilter(
-        canon, exact, seen_join="broadcast"
-    ).persist()
+    )
+    unseen = bloom.filter_unseen_prefilter(canon, exact, seen_join="broadcast")
 
-    # politeness plan (distributed grouped prefix sum) + salted repartition
+    # politeness plan (distributed grouped prefix sum). plan_schedule
+    # persists its own pass junction (the jittered batch) for the
+    # glob/totals passes; `unseen` and `planned` each have exactly ONE
+    # consumer here, so wrapping them in persist() too would only add
+    # ~7 GB of columnar cache writes per run (profiled at 64M rows).
     state = spark.createDataFrame([], politeness.DOMAIN_STATE_SCHEMA)
     planned, _ = politeness.plan_schedule(unseen, state, delay=5.0, variance=0.5, seed=42)
-    planned = planned.persist()
-    salted = politeness.salted_repartition(planned, hot_threshold=5000, salt_rows_per_bucket=2000)
+    # NO salted_repartition here: the fetch join below hash-partitions on
+    # `url` (uniformly distributed), which already spreads hot domains
+    # across tasks — a prior (domain, salt) exchange would be immediately
+    # re-shuffled away (profiled: a dead 3 GB exchange at 64M rows). The
+    # streaming crawl loop, whose fetch stage IS a per-partition map,
+    # is where salted_repartition earns its exchange.
+    salted = planned
 
     # fetch stage: join against a page store (1 page per 4 candidate links)
     store = (
@@ -189,9 +196,12 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
         F.posexplode(udfs.find_links_col(F.col("serve_html"))).alias("pos", "raw"),
     )
     # extracted links go through the same tiered canonicalizer as the
-    # crawl hot path (root-relative and fragment links resolve JVM-side;
-    # only the dirty tail pays the Arrow hop)
-    return udfs.canonicalize_split(extracted, "url", "raw", "link")
+    # crawl hot path (root-relative and fragment links resolve JVM-side).
+    # compact=True: split mode's two branches would each re-evaluate the
+    # fetch join + explode upstream — including building the shuffle-hash
+    # maps twice (profiled 2.5 GiB of build-side at 64M rows). The crawl
+    # loop uses compact for the same join+explode-upstream reason.
+    return udfs.canonicalize_split(extracted, "url", "raw", "link", compact=True)
 
 
 def run_frontier_pipeline(spark, n: int, timings: dict) -> tuple[int, float]:

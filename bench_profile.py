@@ -65,6 +65,8 @@ def main():
             "sched_delay_ms": s.get("schedulerDelay", 0),
             "shuffle_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
             "shuffle_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "spill_mem_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
+            "spill_disk_mb": round(s.get("diskBytesSpilled", 0) / 1e6, 1),
             "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
             "submitted": s.get("submissionTime"),
             "completed": s.get("completionTime"),

@@ -107,6 +107,26 @@ class TestSparkSeenSets:
         via_exact = sorted(r["url_hash"] for r in exact.filter_unseen(cands).collect())
         assert via_prefilter == via_exact
 
+    def test_bloom_prefilter_broadcast_skips_probe(self, spark):
+        """seen_join='broadcast' must produce the same rows as the probe
+        path AND compile to a pure-JVM broadcast anti-join: no
+        ArrowEvalPython (the pandas Bloom probe), no shuffle exchange."""
+        from pyspark.sql import functions as F
+
+        exact = S.ExactSeenSet.empty(spark).add(
+            spark.range(0, 300).select(F.col("id").alias("url_hash"), F.lit(0).alias("depth"))
+        )
+        bloom = S.BloomSeenSet.empty(spark, num_partitions=4, expected_items_per_partition=1000).add(
+            spark.range(0, 300).select(F.col("id").alias("url_hash"))
+        )
+        cands = spark.range(0, 600).select(F.col("id").alias("url_hash"))
+        out = bloom.filter_unseen_prefilter(cands, exact, seen_join="broadcast")
+        got = sorted(r["url_hash"] for r in out.collect())
+        assert got == list(range(300, 600))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
     def test_cuckoo_set_delete_path(self, spark):
         from pyspark.sql import functions as F
 

@@ -161,57 +161,24 @@ def plan_schedule(
     # task-time inflation at local[16] with cores tasks); 4 waves of
     # smaller sorts balance out and cost nothing extra
     n_parts = batch.sparkSession.sparkContext.defaultParallelism * 4
-    order = [
-        F.col("domain"),
-        F.col("_proxy"),
-        F.col("priority").desc(),
-        F.col("seq").asc(),
-    ]
-    arranged = b.repartition(
-        n_parts, "domain", "_proxy", "_bucket"
-    ).sortWithinPartitions(*order)
 
-    from pyspark.sql import types as T
-
-    # StructType.add mutates in place — never call it on a live DF's schema
-    schema = T.StructType(
-        list(arranged.schema.fields) + [T.StructField("_prior_delay", T.DoubleType())]
+    # Grouped prefix sum as a JVM WINDOW running sum, not a pandas scan:
+    # the former mapInPandas kernel shipped the WHOLE batch through an
+    # Arrow round trip (profiled ~330 core-s at 64M rows on 4 cores, and
+    # anti-scaling at 16); a running sum over a frame ending at -1 is an
+    # O(1)-per-row streaming WindowExec with the identical left-to-right
+    # float association (both add jitters in the sorted order). The
+    # explicit repartition on the window's partition keys pins the
+    # partition COUNT (n_parts); the window's required clustering is
+    # already satisfied, so Catalyst adds only the sort on top of it.
+    w = (
+        Window.partitionBy("domain", "_proxy", "_bucket")
+        .orderBy(F.col("priority").desc(), F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out_cols = [f.name for f in schema.fields]
-
-    def local_scan(batches):
-        import numpy as np
-
-        running: dict[tuple, float] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            prior = np.zeros(len(pdf))
-            jit = pdf["_jitter"].to_numpy()
-            keys = list(
-                zip(
-                    pdf["domain"].to_numpy(),
-                    pdf["_proxy"].to_numpy(),
-                    pdf["_bucket"].to_numpy(),
-                )
-            )
-            # rows arrive sorted by (domain, proxy, order); buckets are
-            # order-aligned slices, so (domain, proxy, bucket) runs are
-            # contiguous too
-            start = 0
-            for i in range(1, len(pdf) + 1):
-                if i == len(pdf) or keys[i] != keys[start]:
-                    base = running.get(keys[start], 0.0)
-                    seg = jit[start:i]
-                    cums = np.concatenate(([0.0], np.cumsum(seg[:-1]))) + base
-                    prior[start:i] = cums
-                    running[keys[start]] = base + float(seg.sum())
-                    start = i
-            out = pdf.copy()
-            out["_prior_delay"] = prior
-            yield out[out_cols]
-
-    b = arranged.mapInPandas(local_scan, schema)
+    b = b.repartition(n_parts, "domain", "_proxy", "_bucket").withColumn(
+        "_prior_delay", F.coalesce(F.sum("_jitter").over(w), F.lit(0.0))
+    )
     if hot_bases is not None:
         b = b.join(
             F.broadcast(hot_bases), ["domain", "_proxy", "_bucket"], "left"

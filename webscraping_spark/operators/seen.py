@@ -369,7 +369,23 @@ class BloomSeenSet:
         bloom-cleared row landing in a single skewed partition. A caller
         that knows the seen side is broadcast-small passes "broadcast" and
         the whole anti-join becomes map-side, no exchange at all.
+
+        With "broadcast" the Bloom probe is SKIPPED entirely: a broadcast
+        anti-join already tests every row against an exact in-memory hash
+        map inside whole-stage codegen, so a pre-filter that itself costs
+        an Arrow round-trip per row (the probe is a pandas UDF) can only
+        add work — measured at 64M rows the probe's Arrow hop dominated
+        the stage. The Bloom earns its keep exactly when the exact state
+        CANNOT broadcast and the prefilter keeps most rows out of the
+        anti-join shuffle.
         """
+        if seen_join == "broadcast":
+            seen_keys = exact.df.select(F.col("url_hash").alias("_seen_hash")).hint(
+                "broadcast"
+            )
+            return candidates.join(
+                seen_keys, F.col(on) == F.col("_seen_hash"), "left_anti"
+            )
         state_bytes = self.P * (self.m // 8)
         if state_bytes <= self.BROADCAST_STATE_LIMIT:
             flagged = self.might_contain_broadcast(candidates, on=on)

@@ -114,7 +114,15 @@ def make_page(
 
 def pages_df(spark: SparkSession, pages: list[dict]) -> DataFrame:
     rows = [tuple(p[f.name] for f in PAGES_SCHEMA.fields) for p in pages]
-    return spark.createDataFrame(rows, PAGES_SCHEMA)
+    # cap partitions for tiny fixture batches: createDataFrame defaults to
+    # defaultParallelism slices, so a 64-page fixture at local[32] fans out
+    # 32 two-row Arrow tasks whose per-task setup dwarfs the work (measured:
+    # image_verify 0.86s at 4 cores vs 2.0s at 16). ~8 rows per slice keeps
+    # small batches dense while large page lists still use every core.
+    slices = max(1, min(spark.sparkContext.defaultParallelism, len(rows) // 8))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=slices), PAGES_SCHEMA
+    )
 
 
 # --- fixture graphs (FIXTURES.md §7) ---------------------------------------
