@@ -152,13 +152,20 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
     )
     unseen = bloom.filter_unseen_prefilter(canon, exact, seen_join="broadcast")
 
-    # politeness plan (distributed grouped prefix sum). plan_schedule
-    # persists its own pass junction (the jittered batch) for the
-    # glob/totals passes; `unseen` and `planned` each have exactly ONE
-    # consumer here, so wrapping them in persist() too would only add
-    # ~7 GB of columnar cache writes per run (profiled at 64M rows).
+    # politeness plan. hot_group_rows=None, like the crawl loop: the
+    # two-phase hot-group bucketing existed to parallelize the pandas
+    # prefix scan, and with the prefix sum now a JVM window running sum
+    # the per-group serial cost is just a partition-local sort (the
+    # hottest log-uniform domain holds ~5% of rows — well inside one of
+    # the 4x-cores sort waves). Keeping the machinery would cost a 64M-row
+    # junction persist plus TWO full-batch stats passes (glob order-stat +
+    # per-group counts) per measured run — profiled as the single largest
+    # scaling-limiting stage. The bucketed path stays for callers whose
+    # batches are too skewed to sort in one task (tests cover it).
     state = spark.createDataFrame([], politeness.DOMAIN_STATE_SCHEMA)
-    planned, _ = politeness.plan_schedule(unseen, state, delay=5.0, variance=0.5, seed=42)
+    planned, _ = politeness.plan_schedule(
+        unseen, state, delay=5.0, variance=0.5, seed=42, hot_group_rows=None
+    )
     # NO salted_repartition here: the fetch join below hash-partitions on
     # `url` (uniformly distributed), which already spreads hot domains
     # across tasks — a prior (domain, salt) exchange would be immediately
