@@ -197,9 +197,15 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
     # (projected from range()) undercounts the html payload badly enough to
     # pick a broadcast that dies building at 16M-row sweep sizes
     fetched = salted.join(store.hint("shuffle_hash"), "url", "left")
+    # scheduled_offset MUST reach the sink: it is the politeness plan's
+    # output (the real loop fetches at these offsets and reports the
+    # makespan). Dropping it here lets Catalyst dead-code-eliminate the
+    # entire window+sort politeness stage out of the measured pipeline —
+    # the benchmark would then claim a politeness plan it never computed.
     extracted = fetched.filter(F.col("serve_html").isNotNull()).select(
         "url",
         "seq",
+        "scheduled_offset",
         F.posexplode(udfs.find_links_col(F.col("serve_html"))).alias("pos", "raw"),
     )
     # extracted links go through the same tiered canonicalizer as the

@@ -84,12 +84,12 @@ def plan_schedule(
     and tested against the unbucketed scan with np.isclose.
     """
     proxy = F.col(proxy_col) if proxy_col else F.lit("")
-    b = batch.withColumn("_proxy", proxy).withColumn(
-        "_jitter", jitter_col(delay, variance, seed)
-    )
+    b = batch.withColumn("_proxy", proxy)
 
     hot_bases = None
     if hot_group_rows is not None:
+        # the hot-group stats passes below consume _jitter pre-exchange
+        b = b.withColumn("_jitter", jitter_col(delay, variance, seed))
         # the pre-agg + totals + scan would each re-evaluate the batch's
         # upstream plan; persist() shares one materialization across the
         # passes. NOT localCheckpoint: truncated lineage cannot recompute
@@ -153,7 +153,8 @@ def plan_schedule(
                 F.coalesce(F.sum("_tot").over(wb), F.lit(0.0)).alias("_bbase"),
             )
             b = b.drop("_nb")
-    if "_bucket" not in b.columns:
+    bucket_is_const = "_bucket" not in b.columns
+    if bucket_is_const:
         b = b.withColumn("_bucket", F.lit(0))
 
     # 4x cores, not cores: with exactly one task per core any group-size
@@ -171,12 +172,29 @@ def plan_schedule(
     # explicit repartition on the window's partition keys pins the
     # partition COUNT (n_parts); the window's required clustering is
     # already satisfied, so Catalyst adds only the sort on top of it.
+    # CAUTION: Catalyst normalizes the WINDOW's partition spec by dropping
+    # foldable keys (_proxy = lit("") without a proxy_col, _bucket = lit(0)
+    # on the cold path) but does NOT normalize the repartition's — keying
+    # the repartition on a literal makes EnsureRequirements see mismatched
+    # partitionings and stack a second full exchange on top (profiled: a
+    # dead 64M-row reshuffle). Repartition on the non-literal keys only.
     w = (
         Window.partitionBy("domain", "_proxy", "_bucket")
         .orderBy(F.col("priority").desc(), F.col("seq").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    b = b.repartition(n_parts, "domain", "_proxy", "_bucket").withColumn(
+    part_keys = ["domain"]
+    if proxy_col:
+        part_keys.append("_proxy")
+    if not bucket_is_const:
+        part_keys.append("_bucket")
+    b = b.repartition(n_parts, *part_keys)
+    if "_jitter" not in b.columns:
+        # cold path: jitter is a pure function of `url` (which rides the
+        # exchange regardless) — computing it AFTER the repartition keeps
+        # 8 bytes/row off the shuffle wire
+        b = b.withColumn("_jitter", jitter_col(delay, variance, seed))
+    b = b.withColumn(
         "_prior_delay", F.coalesce(F.sum("_jitter").over(w), F.lit(0.0))
     )
     if hot_bases is not None:
