@@ -362,15 +362,16 @@ def main():
         "## Round-over-round",
         "",
         "Round-1 headline (same protocol, 16M rows): local[8] 81,286 /",
-        "local[32] 162,955 URLs/sec, raw efficiency 0.501. Round-2 absolute",
-        "throughput roughly doubled at every level; the gains are itemized in",
-        "PLANS.md 11-13: JIT-compiling the canonicalizer codegen",
-        "(-XX:-DontCompileHugeMethods), a JVM resolver tier for",
-        "dot-segment/root-relative links (Arrow hop only for",
-        "escapes/entities/non-ASCII), byte-scan prechecks before every regex,",
-        "scan/AQE split sizing that keeps all cores busy at bench data sizes,",
-        "and the bucketed politeness scan that removed the Zipf-hot-domain",
-        "straggler.",
+        "local[32] 162,955 URLs/sec, raw efficiency 0.501. Round 2 roughly",
+        "doubled absolute throughput (PLANS.md 11-13: JIT-compiling the",
+        "canonicalizer codegen, the JVM resolver tier, byte-scan regex",
+        "prechecks, split sizing). Round 3 first made the benchmark HONEST —",
+        "the politeness window had been dead-code-eliminated because its",
+        "output never reached the sink (PLANS.md 18) — then beat the",
+        "dishonest number anyway: removing a hidden duplicate politeness",
+        "exchange, single-pass compact canonicalization of the frontier,",
+        "dead-column pruning ahead of the politeness shuffle, and",
+        "tmpfs-conditional uncompressed shuffle with 1 MB file buffers.",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

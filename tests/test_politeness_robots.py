@@ -89,6 +89,35 @@ class TestPolitenessPlan:
             a[u] == b[u] for u in a if u.startswith("http://cold.com/")
         )
 
+    def test_plan_shape_single_exchange_and_live_window(self, spark):
+        """Two plan-shape regressions guarded at once (PLANS.md 18):
+
+        1. The cold path (no proxy, no hot buckets) must produce exactly
+           ONE exchange before the window — keying the explicit
+           repartition on foldable columns (_proxy/_bucket literals) made
+           EnsureRequirements stack a second full shuffle on top.
+        2. A consumer of scheduled_offset must see a live Window node —
+           if every window output is dropped downstream, Catalyst
+           dead-code-eliminates the politeness stage entirely (the bench
+           shipped that way for two rounds).
+        """
+        rows = [(f"http://a.com/{i}", "a.com", 0, i) for i in range(50)]
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        planned, _ = P.plan_schedule(
+            make_batch(spark, rows), state, DELAY, VARIANCE, seed=42,
+            hot_group_rows=None,
+        )
+        consumed = planned.select("url", "scheduled_offset")
+        plan = consumed._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan, plan
+        import re
+        exchanges = re.findall(r"Exchange hashpartitioning\([^)]*domain[^)]*\)", plan)
+        assert len(exchanges) == 1, exchanges
+        # and the DCE hazard itself: dropping the offset kills the window
+        pruned = planned.select("url")
+        plan2 = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan2
+
     def test_salting_splits_hot_domain(self, spark):
         rows = [(f"http://hot.com/{i}", "hot.com", 0, i) for i in range(200)]
         state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)

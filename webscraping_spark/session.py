@@ -98,6 +98,16 @@ def get_spark(
         local_dir = os.path.join(shm, "spark-local")
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
+        # tmpfs-shuffle-specific: with shuffle files in RAM, lz4
+        # compress/decompress is pure overhead (measured ~35% of the 64M
+        # pipeline at local[16]) and the many small block writes serialize
+        # on memcg page accounting (PLANS.md 17) — bigger file buffers
+        # batch them. Both conditioned on the tmpfs local dir: on a real
+        # cluster shuffle crosses disks/network, where compression wins
+        # and these defaults would be wrong.
+        builder = builder.config("spark.shuffle.compress", "false").config(
+            "spark.shuffle.file.buffer", "1m"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
