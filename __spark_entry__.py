@@ -569,6 +569,43 @@ def q_image_verify(spark, sf_dir):
     )
 
 
+def q_image_phash_near_dup(spark, sf_dir):
+    """Image near-dup (decode -> perceptual hash -> banded Hamming join)
+    with a hard recall+precision oracle: 48 distinct synthetic images plus
+    8 planted lossy re-encodes of the first 8 (same pixels, qnt codec) —
+    the operator must emit EXACTLY the 8 planted pairs. The query returns
+    the symmetric difference between found and planted pair sets; the SQL
+    oracle encodes 'empty' literally (the ann_topk_subset pattern)."""
+    from webscraping_spark.operators.multimodal import image_near_dupes
+    from webscraping_spark.sources import images
+
+    n_docs, n_dups = 48, 8
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for d in doc_ids:
+        px = images.synth_pixels(f"d{d}", w=64, h=48)
+        rows.append((f"d{d}", bytearray(images.encode_image(px, "png")), "png"))
+        if d < n_dups:
+            rows.append(
+                (f"d{d}_qnt", bytearray(images.encode_image(px, "qnt")), "qnt")
+            )
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    found = image_near_dupes(pages, max_hamming=3).select("id_a", "id_b")
+    planted = spark.createDataFrame(
+        [(f"d{d}", f"d{d}_qnt") for d in doc_ids if d < n_dups],
+        "id_a string, id_b string",
+    )
+    missing = planted.join(found, ["id_a", "id_b"], "left_anti")
+    extra = found.join(planted, ["id_a", "id_b"], "left_anti")
+    return missing.unionByName(extra)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -640,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
+        "image_phash_near_dup": q_image_phash_near_dup,
     }
 
 
@@ -866,6 +904,15 @@ def oracle_sql() -> dict[str, str]:
             -- inside the exact cosine top-50 ball; the Spark side computes
             -- the set difference, which must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "image_phash_near_dup": """
+            -- contract: decode -> perceptual-hash -> banded Hamming join
+            -- finds EXACTLY the 8 planted lossy re-encode pairs (recall)
+            -- and nothing else among 48 distinct images (precision); the
+            -- Spark side returns the symmetric difference, which must be
+            -- empty
+            SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
+            WHERE 1 = 0
         """,
         "minhash_near_dupes": """
             -- exact word-3-shingle Jaccard pairs at >= 0.5 over the same

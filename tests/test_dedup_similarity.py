@@ -229,6 +229,28 @@ class TestMultimodal:
         resized = resize_images(pdf, 16, 16).collect()
         assert all(r["w"] == 16 and r["h"] == 16 and r["fmt"] == "png" for r in resized)
 
+    def test_image_phash_near_dup(self, spark):
+        """Planted image near-dups: the SAME pixel source encoded lossless
+        (png) and lossy (qnt) must pair within Hamming <= 3; a distinct
+        image must pair with neither. Candidate generation must be the
+        banded equi-join — no CartesianProduct in the plan."""
+        from webscraping_spark.operators.multimodal import image_near_dupes
+        from webscraping_spark.sources import images
+
+        px_dup = images.synth_pixels("dup-src", w=64, h=48)
+        px_other = images.synth_pixels("other-src", w=64, h=48)
+        rows = [
+            ("a_png", bytearray(images.encode_image(px_dup, "png")), "png"),
+            ("b_qnt", bytearray(images.encode_image(px_dup, "qnt")), "qnt"),
+            ("c_png", bytearray(images.encode_image(px_other, "png")), "png"),
+        ]
+        pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        dupes = image_near_dupes(pages, max_hamming=3)
+        plan = dupes._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = {(r["id_a"], r["id_b"]) for r in dupes.collect()}
+        assert got == {("a_png", "b_qnt")}, got
+
     def test_audio_stub_plumbing(self, spark):
         from webscraping_spark.operators.multimodal import audio_features
 

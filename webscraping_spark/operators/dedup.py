@@ -232,19 +232,23 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return votes.select("id", sig.alias("simhash"))
 
 
-def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
-    """Banded Hamming join: 4 x 16-bit chunks — pairs within max_hamming
-    bits must agree on >= 1 chunk when max_hamming < 4*... (pigeonhole with
-    4 bands covers Hamming <= 3 exactly; wider radii add recall loss,
-    documented)."""
-    sh = simhash(docs, **kw)
-    chunks = sh.select(
-        "id",
-        "simhash",
+def banded_hamming_pairs(
+    sig: DataFrame, sig_col: str, max_hamming: int, id_col: str = "id"
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of 64-bit signatures within
+    ``max_hamming`` bits, via a banded equi-self-join: 4 x 16-bit chunks —
+    by pigeonhole, pairs within Hamming <= 3 MUST agree on >= 1 chunk
+    (exact recall); wider radii trade recall, documented at each caller.
+    No all-pairs product anywhere: candidate generation is an equi-join on
+    (chunk_idx, chunk) — the same shuffle shape at 10^10 rows as at 10^3.
+    Shared by text SimHash and image perceptual-hash dedup."""
+    chunks = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("_sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col(sig_col), 16 * i).bitwiseAND(F.lit(0xFFFF))
                     for i in range(4)
                 ]
             )
@@ -258,15 +262,21 @@ def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._sig").alias("_sig_a"),
+            F.col("b._sig").alias("_sig_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("_sig_a").bitwiseXOR(F.col("_sig_b")))
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame:
+    """Banded Hamming join over text SimHash signatures (see
+    banded_hamming_pairs; radius > 3 trades recall)."""
+    return banded_hamming_pairs(simhash(docs, **kw), "simhash", max_hamming)
 
 
 # ---------------------------------------------------------------------------

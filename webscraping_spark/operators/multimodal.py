@@ -96,6 +96,45 @@ def verify_images(pages: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
     return pages.select(*cols).mapInPandas(verify, out_schema)
 
 
+def phash_images(pages: DataFrame) -> DataFrame:
+    """Decode each image payload and derive its 64-bit perceptual hash:
+    (image_id, phash LONG). mapInPandas over (image_id, bytes, fmt) only —
+    the hash is re-derived from pixels, NOT read from metadata, so the
+    operator works on any binary image column (undecodable rows drop)."""
+
+    def hash_batch(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for i in range(len(pdf)):
+                try:
+                    px = images.decode_image(bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i])
+                except Exception:
+                    continue
+                ids.append(pdf["image_id"].iloc[i])
+                hashes.append(images.average_hash(px))
+            yield pd.DataFrame({"image_id": ids, "phash": pd.array(hashes, dtype="int64")})
+
+    return pages.select("image_id", "bytes", "fmt").mapInPandas(
+        hash_batch, "image_id string, phash long"
+    )
+
+
+def image_near_dupes(pages: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate images by perceptual hash: decode -> 64-bit phash ->
+    banded Hamming self-join (4 x 16-bit chunks, shared with text SimHash —
+    operators/dedup.banded_hamming_pairs). Radius <= 3 has exact recall by
+    pigeonhole; it comfortably covers lossy re-encodes of the same pixels
+    (the qnt codec's quantization error flips <= a few block-mean bits)
+    while distinct images differ by ~32 bits. The candidate join is an
+    equi-join on (chunk_idx, chunk) — no all-pairs product, the same
+    shuffle shape at 10^10 images. Returns (id_a, id_b, hamming)."""
+    from webscraping_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        phash_images(pages), "phash", max_hamming, id_col="image_id"
+    )
+
+
 def image_features(pages: DataFrame, grid: int = 4) -> DataFrame:
     """Decode + grid x grid mean-pooled grayscale features (a stand-in for
     an embedding tower's preprocessing): (image_id, features ARRAY<DOUBLE>)."""
