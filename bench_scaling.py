@@ -185,6 +185,11 @@ def main():
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument(
+        "--no-matched",
+        action="store_true",
+        help="skip the Spark matched-load calibration (slow at small core counts)",
+    )
+    ap.add_argument(
         "--sweep",
         default="1000000,4000000,16000000",
         help="comma-separated frontier sizes: throughput is reported per size "
@@ -226,6 +231,8 @@ def main():
     # Spark matched-load ceiling: the pipeline's own first map stage with
     # ZERO shuffles — any sub-linear scaling here is the host, not the plan
     try:
+        if args.no_matched:
+            raise RuntimeError("skipped (--no-matched)")
         m_s = run_at(args.small, headline_n, args.sf_dir, pyfiles, script="bench_matched.py")
         m_l = run_at(args.large, headline_n, args.sf_dir, pyfiles, script="bench_matched.py")
         matched_eff = (
