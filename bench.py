@@ -77,13 +77,17 @@ def materialized_frontier(spark, n: int):
     the generator ~20x per row. Writing the synthetic frontier once and
     scanning it back measures the pipeline, not that artifact."""
     root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    path = os.path.join(root, f"bench_frontier_{n}.parquet")
+    # fixed fan-out so scan parallelism never depends on which core count
+    # WROTE the table (splits are further sized by
+    # spark.sql.files.maxPartitionBytes, see session.py). 256 files (not
+    # 64): at small n the 8 MB split floor packs a 64-file table into
+    # fewer splits than local[32] has cores, serializing the map stage.
+    # Fan-out is in the path so cached tables from older layouts expire.
+    fanout = 256
+    path = os.path.join(root, f"bench_frontier_{n}_f{fanout}.parquet")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        # fixed fan-out so scan parallelism never depends on which core
-        # count WROTE the table (splits are further sized by
-        # spark.sql.files.maxPartitionBytes, see session.py)
-        synth_frontier(spark, n).repartition(64).write.mode("overwrite").parquet(path)
+        synth_frontier(spark, n).repartition(fanout).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -301,10 +305,13 @@ def run_headline_queries(spark, sf_dir: str, timings: dict) -> None:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    # 4M default: at 1M rows fixed per-job overhead dominates the headline
-    # (round-1 showed a 5x spread between 1M and 4M runs); 4M amortizes it
-    # while staying under ~2 min at local[32]
-    n = int(os.environ.get("SPARK_GRAFT_BENCH_N", 4_000_000))
+    # 16M default: fixed per-job overhead (session, driver-serial planning,
+    # broadcast build, politeness sort warm-in) is ~12-15 s — at 4M rows
+    # that is a third of the measured pipeline and the headline tracks
+    # overhead, not throughput (round-1 showed a 5x spread between 1M and
+    # 4M for the same reason). 16M keeps the whole run under ~3 min at
+    # local[32]; the scaling evidence (BENCH/BASELINE.md) runs 64M.
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_N", 16_000_000))
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
 
     from webscraping_spark.session import get_spark
