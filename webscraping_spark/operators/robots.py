@@ -122,13 +122,28 @@ def robots_gate(
 ) -> DataFrame:
     """Filter candidates to rows robots.txt allows for ``user_agent``.
 
-    Plan shape: select the applicable section per domain on the (small)
-    rules side — substring agent match per ``Entry.applies_to``, first
-    applicable named entry in file order, ``'*'`` default only for domains
-    with no applicable named entry — then broadcast-join candidates x
-    selected rules on domain, filter to prefix-matching rules, and pick the
-    winning rule per URL with a min_by aggregation (file order). Allow when
-    the winner allows or no rule matched.
+    Plan shape (zero candidate-side exchange): select the applicable
+    section per domain on the (small) rules side — substring agent match
+    per ``Entry.applies_to``, first applicable named entry in file order,
+    ``'*'`` default only for domains with no applicable named entry —
+    collapse it to ONE row per domain carrying a file-ordered
+    ``ARRAY<STRUCT<order,rule,path_prefix>>``, broadcast-join candidates
+    against that table, and decide per row with higher-order
+    ``filter``/``element_at`` expressions (first matching rule in file
+    order wins; no match / no rules = allowed). The candidate frame never
+    shuffles: the round-3 design aggregated the JOINED frame with a
+    ``groupBy`` over every candidate column, which re-exchanged the whole
+    batch for a decision computable per-row (and broke on un-groupable
+    column types such as maps).
+
+    Wildcard note (strict robotparser parity): a ``Disallow: *`` rule is
+    matched as the literal prefix ``'*'`` — which blocks (almost) nothing —
+    exactly like urllib.robotparser, where ``RuleLine`` quotes rule paths
+    (``quote('*') == '%2A'``) so its ``path == "*"`` wildcard branch is
+    dead code and ``'Disallow: *'`` only blocks paths that literally start
+    with ``'*'`` (quoted ``'%2A'`` on both sides there, raw ``'*'`` on both
+    sides here). The engine gates canonicalized URLs, for which quoting is
+    the identity on the ASCII-safe set, so no quote pass is applied.
     """
     path = F.coalesce(
         F.when(
@@ -162,24 +177,25 @@ def robots_gate(
     )
     applicable = named.unionByName(star)
 
-    joined = cand.join(F.broadcast(applicable), "domain", "left")
-    matches = joined.withColumn(
-        "_hit",
-        F.col("path_prefix").isNotNull()
-        & (
-            (F.col("path_prefix") == "")
-            | (F.col("path_prefix") == "*")  # RuleLine.applies_to wildcard
-            | F.col("_path").startswith(F.col("path_prefix"))
+    # ONE array row per domain, file-ordered (struct sorts by its first
+    # field, `order`) — the only exchange in the whole gate is this groupBy
+    # on the tiny rules side, which then broadcasts.
+    rules_arr = applicable.groupBy("domain").agg(
+        F.sort_array(
+            F.collect_list(F.struct("order", "rule", "path_prefix"))
+        ).alias("_rules")
+    )
+    joined = cand.join(F.broadcast(rules_arr), "domain", "left")
+    # Entry.allowance: first rule (file order) whose prefix matches decides;
+    # empty prefix matches everything; no match / no rules row = allowed.
+    # F.get (not element_at): null on empty arrays under ANSI mode
+    winner = F.get(
+        F.filter(
+            F.col("_rules"),
+            lambda r: (r["path_prefix"] == "")
+            | F.col("_path").startswith(r["path_prefix"]),
         ),
+        0,
     )
-    # winner per URL: first-matching rule in file order within the selected
-    # section; NULL if none matched
-    verdict = matches.groupBy(*[F.col(c) for c in candidates.columns]).agg(
-        F.min_by(
-            F.col("rule"), F.when(F.col("_hit"), F.col("order"))
-        ).alias("_winning_rule")
-    )
-    allowed = verdict.filter(
-        F.col("_winning_rule").isNull() | (F.col("_winning_rule") == "allow")
-    )
-    return allowed.drop("_winning_rule")
+    allowed = joined.filter(winner.isNull() | (winner["rule"] == "allow"))
+    return allowed.select(*candidates.columns)
