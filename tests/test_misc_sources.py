@@ -92,6 +92,41 @@ class TestUnicodeWriterExtras:
         }
 
 
+    def test_bom_headerless_append_dedup_roundtrip(self, spark, tmp_path):
+        """ADVICE r3: with utf8_bom=True and header=False the BOM used to
+        leak into the first field of each part's first record on append
+        reads — that row's dedup key never matched and auto_repair's
+        DROPMALFORMED deleted it. Reads now strip the BOM first; the write
+        re-stamps it."""
+        from webscraping_spark.operators.sinks import write_unique_csv
+
+        out = str(tmp_path / "bom_append_out")
+        first = spark.createDataFrame([("a", 1), ("b", 2)], self.SCHEMA)
+        write_unique_csv(
+            first, out, unique_by=["k"], header=False, utf8_bom=True
+        )
+        second = spark.createDataFrame([("a", 99), ("c", 3)], self.SCHEMA)
+        write_unique_csv(
+            second, out, unique_by=["k"], header=False, mode="append",
+            utf8_bom=True, auto_repair=True,
+        )
+        import glob
+
+        parts = sorted(glob.glob(out + "/part-*"))
+        assert parts and all(
+            open(p, "rb").read()[:3] == b"\xef\xbb\xbf" for p in parts
+        )
+        # read back through the engine's BOM-aware reader (a plain
+        # headerless spark.read would re-manifest the BOM-in-first-field)
+        from webscraping_spark.operators.sinks import _read_existing_csv
+
+        back = _read_existing_csv(spark, out, self.SCHEMA, header=False)
+        got = {(r["k"], r["v"]) for r in back.collect()}
+        # 'a' keeps the on-disk value 1 (its key MATCHED despite the BOM)
+        # and no row was repair-dropped
+        assert got == {("a", 1), ("b", 2), ("c", 3)}
+
+
 class TestUserAgents:
     def test_deterministic_and_from_pool(self):
         a1 = agent_for("http://x.com/page")

@@ -76,11 +76,22 @@ def write_unique_csv(
 
 
 def _read_existing_csv(spark, path: str, schema, header: bool):
-    """Existing CSV output at ``path``, or None when absent."""
+    """Existing CSV output at ``path``, or None when absent.
+
+    Headerless outputs are BOM-stripped first: Spark's CSV reader only
+    skips a UTF-8 BOM together with the header line, so on a
+    ``utf8_bom=True, header=False`` output the BOM bytes would otherwise
+    become part of the first record's first field (breaking both the
+    dedup key and typed-column parses). The strip is physical and safe:
+    ``_prepend_bom`` re-stamps every part after the append when
+    ``utf8_bom`` is set."""
     import os
 
     if not os.path.isdir(path) and not os.path.isfile(path):
         return None
+    if not header:
+        _strip_bom(path)
+        spark.catalog.refreshByPath(path)
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
@@ -100,6 +111,11 @@ def repair_csv(spark, path: str, schema, header: bool = True) -> None:
 
     if not os.path.isdir(path) and not os.path.isfile(path):
         return
+    if not header:
+        # see _read_existing_csv: a BOM on a headerless part would turn
+        # the first row malformed and DROPMALFORMED would delete it
+        _strip_bom(path)
+        spark.catalog.refreshByPath(path)
     good = (
         spark.read.schema(schema)
         .option("header", str(header).lower())
@@ -109,11 +125,45 @@ def repair_csv(spark, path: str, schema, header: bool = True) -> None:
     tmp = path.rstrip("/") + ".repair.tmp"
     good.write.mode("overwrite").option("header", str(header).lower()).csv(tmp)
     target = path.rstrip("/")
-    if os.path.isdir(target) or os.path.isfile(target):
-        shutil.rmtree(target) if os.path.isdir(target) else os.remove(target)
+    # crash-safe swap: rename the old output ASIDE before renaming the
+    # repaired one in, so there is no window with no data at `target`
+    # (a crash between the renames leaves `.old` recoverable by hand)
+    old = target + ".repair.old"
+    if os.path.isdir(old) or os.path.isfile(old):
+        shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
+    had_target = os.path.isdir(target) or os.path.isfile(target)
+    if had_target:
+        os.rename(target, old)
     os.rename(tmp, target)
+    if had_target:
+        shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
     spark.catalog.refreshByPath(target)
     spark.catalog.refreshByPath(tmp)
+
+
+def _strip_bom(path: str) -> None:
+    """Remove a leading UTF-8 BOM from every part file under ``path``
+    (inverse of ``_prepend_bom``; see _read_existing_csv for why)."""
+    import glob
+    import os
+
+    BOM = b"\xef\xbb\xbf"
+    parts = (
+        sorted(glob.glob(os.path.join(path, "part-*")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for part in parts:
+        with open(part, "rb") as fh:
+            data = fh.read()
+        if data.startswith(BOM):
+            with open(part, "wb") as fh:
+                fh.write(data[len(BOM):])
+            crc = os.path.join(
+                os.path.dirname(part), "." + os.path.basename(part) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
 
 
 def _prepend_bom(path: str) -> None:
