@@ -11,8 +11,8 @@ from webscraping_spark.sources import synth
 
 def run_both(spark, pages, seeds, *, mode="bfs", max_depth=1, max_links=100,
              batch_size=1000, robots_df=None, robots_dict=None, max_urls=None):
-    if mode == "dfs":
-        batch_size = 1  # CrawlConfig rejects DFS at batch_size != 1
+    if mode == "dfs" and max_depth is None:
+        batch_size = 1  # CrawlConfig rejects unbounded DFS at batch_size != 1
     oracle = SequentialOracle(
         {p["url"]: p for p in pages},
         OracleConfig(
@@ -108,13 +108,45 @@ class TestDfsParity:
         exp, job = run_both(spark, pages, [pages[0]["url"]], mode="dfs", max_depth=None)
         assert job.visit_urls() == exp.visit_order
 
-    def test_dfs_rejects_batched_config(self, spark):
-        """DFS with batch_size != 1 must fail LOUDLY (no silent
-        approximation): exact LIFO parity is undefined for larger batches
-        because the next DFS visit is always a freshly-discovered link."""
+    def test_dfs_rejects_batched_config_when_unbounded(self, spark):
+        """UNBOUNDED DFS with batch_size != 1 must fail LOUDLY (no silent
+        approximation): without a leaf stratum the next DFS visit is
+        always a freshly-discovered link. A finite max_depth enables the
+        exact leaf-prefix batching and is accepted at any batch_size."""
         with pytest.raises(ValueError, match="batch_size=1"):
-            CrawlConfig(mode="dfs", batch_size=8)
-        CrawlConfig(mode="dfs", batch_size=1)  # the supported form
+            CrawlConfig(mode="dfs", batch_size=8, max_depth=None)
+        CrawlConfig(mode="dfs", batch_size=1, max_depth=None)  # supported
+        CrawlConfig(mode="dfs", batch_size=8, max_depth=2)  # leaf batching
+
+    def test_batched_dfs_tree_parity(self, spark):
+        """Round-3 verdict Next #5: batched DFS via exact leaf-prefix
+        claiming — depth==max_depth rows never extract links, so claiming
+        a LIFO prefix of leaves plus one interior row per superstep
+        reproduces the sequential order exactly at batch_size=8."""
+        pages = synth.site_tree(branching=3, depth=3)
+        exp, job = run_both(
+            spark, pages, [pages[0]["url"]], mode="dfs", max_depth=2,
+            batch_size=8,
+        )
+        assert job.visit_urls() == exp.visit_order
+        # and it genuinely batches: fewer supersteps than visits
+        assert job.metrics.supersteps < len(exp.visit_order)
+
+    def test_batched_dfs_dirty_links_parity(self, spark):
+        pages = synth.site_dirty_links()
+        exp, job = run_both(
+            spark, pages, [pages[0]["url"]], mode="dfs", max_depth=2,
+            batch_size=8,
+        )
+        assert job.visit_urls() == exp.visit_order
+
+    def test_batched_dfs_diamond_parity(self, spark):
+        pages = synth.site_diamond()
+        exp, job = run_both(
+            spark, pages, [pages[0]["url"]], mode="dfs", max_depth=3,
+            batch_size=8,
+        )
+        assert job.visit_urls() == exp.visit_order
 
     def test_dfs_differs_from_bfs(self, spark):
         pages = synth.site_tree(branching=2, depth=2)

