@@ -606,6 +606,62 @@ def q_image_phash_near_dup(spark, sf_dir):
     return missing.unionByName(extra)
 
 
+def q_image_dct_near_dup(spark, sf_dir):
+    """Transform-robust image near-dup (decode -> DCT perceptual hash ->
+    8-band Hamming join; multimodal.py method="dct") with a hard
+    recall+precision oracle: 24 distinct structured images
+    (synth_smooth_pixels — low-frequency content, the honest model of real
+    photos; white noise is un-hashable under subsampling) plus, for the
+    first 6, a planted HALF-RESIZE and a planted BRIGHTNESS+12 variant.
+    The operator must emit exactly the 12 planted (orig, variant) pairs —
+    resize recall is what the default average_hash method cannot do. The
+    query returns the symmetric difference between found and planted pair
+    sets restricted to orig-variant pairs (variant-variant pairs of the
+    same source are legitimately near-dup too and are not violations);
+    the SQL oracle encodes 'empty' literally."""
+    import numpy as np
+
+    from webscraping_spark.operators.multimodal import image_near_dupes
+    from webscraping_spark.sources import images
+
+    n_docs, n_dups = 24, 6
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .collect()
+    ]
+    rows, planted_rows = [], []
+    for d in doc_ids:
+        px = images.synth_smooth_pixels(f"s{d}", w=64, h=48)
+        rows.append((f"s{d}", bytearray(images.encode_image(px, "png")), "png"))
+        if d < n_dups:
+            yi = (np.arange(24) * 48) // 24
+            xi = (np.arange(32) * 64) // 32
+            half = px[yi][:, xi]
+            bright = np.clip(px.astype(np.int32) + 12, 0, 255).astype(np.uint8)
+            rows.append(
+                (f"s{d}_half", bytearray(images.encode_image(half, "png")), "png")
+            )
+            rows.append(
+                (f"s{d}_bright", bytearray(images.encode_image(bright, "png")), "png")
+            )
+            planted_rows += [(f"s{d}", f"s{d}_half"), (f"s{d}", f"s{d}_bright")]
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    found = (
+        image_near_dupes(pages, max_hamming=10, method="dct")
+        .select("id_a", "id_b")
+        # orig-variant pairs only: variant-variant pairs of one source
+        # (s0_half ~ s0_bright) are true near-dups, not violations
+        .filter(~F.col("id_a").contains("_") | ~F.col("id_b").contains("_"))
+    )
+    planted = spark.createDataFrame(planted_rows, "id_a string, id_b string")
+    missing = planted.join(found, ["id_a", "id_b"], "left_anti")
+    extra = found.join(planted, ["id_a", "id_b"], "left_anti")
+    return missing.unionByName(extra)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -678,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
         "image_phash_near_dup": q_image_phash_near_dup,
+        "image_dct_near_dup": q_image_dct_near_dup,
     }
 
 
@@ -911,6 +968,16 @@ def oracle_sql() -> dict[str, str]:
             -- and nothing else among 48 distinct images (precision); the
             -- Spark side returns the symmetric difference, which must be
             -- empty
+            SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
+            WHERE 1 = 0
+        """,
+        "image_dct_near_dup": """
+            -- contract: decode -> DCT perceptual hash -> 8-band Hamming
+            -- join finds EXACTLY the 12 planted resize/brightness pairs
+            -- (recall under transforms average_hash cannot survive) and no
+            -- orig-involving pair among 24 distinct structured images
+            -- (precision); the Spark side returns the symmetric
+            -- difference, which must be empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
         """,

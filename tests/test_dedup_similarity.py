@@ -251,6 +251,78 @@ class TestMultimodal:
         got = {(r["id_a"], r["id_b"]) for r in dupes.collect()}
         assert got == {("a_png", "b_qnt")}, got
 
+    def test_image_dct_near_dup_transforms(self, spark):
+        """Round-3 verdict Next #7: resize and brightness-shift planted
+        pairs. average_hash provably cannot catch a downsample (asserted
+        below), so the dct method exists: on structured imagery every
+        planted transform of the source must pair with it at Hamming <= 10
+        while distinct images pair with nothing. Candidate generation must
+        stay the banded equi-join (no CartesianProduct)."""
+        import numpy as np
+
+        from webscraping_spark.operators.multimodal import image_near_dupes
+        from webscraping_spark.sources import images
+
+        def nn_resize(px, out_w, out_h):
+            h, w = px.shape[:2]
+            yi = (np.arange(out_h) * h) // out_h
+            xi = (np.arange(out_w) * w) // out_w
+            return px[yi][:, xi]
+
+        src = images.synth_smooth_pixels("transform-src", w=64, h=48)
+        transforms = {
+            "t_half": nn_resize(src, 32, 24),
+            "t_075": nn_resize(src, 48, 36),
+            "t_2x": nn_resize(src, 128, 96),
+            "t_bright": np.clip(src.astype(np.int32) + 12, 0, 255).astype(np.uint8),
+            "t_dark": np.clip(src.astype(np.int32) - 12, 0, 255).astype(np.uint8),
+            "t_qnt": images.decode_image(images.encode_image(src, "qnt"), "qnt"),
+        }
+        rows = [("orig", bytearray(images.encode_image(src, "png")), "png")]
+        rows += [
+            (name, bytearray(images.encode_image(px, "png")), "png")
+            for name, px in transforms.items()
+        ]
+        # distinct structured images: must pair with nothing
+        rows += [
+            (f"other{i}", bytearray(images.encode_image(
+                images.synth_smooth_pixels(f"other-{i}", w=64, h=48), "png")), "png")
+            for i in range(6)
+        ]
+        pages = spark.createDataFrame(
+            rows, "image_id string, bytes binary, fmt string"
+        )
+        dupes = image_near_dupes(pages, max_hamming=10, method="dct")
+        plan = dupes._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = {frozenset((r["id_a"], r["id_b"])) for r in dupes.collect()}
+        expected = {frozenset(("orig", name)) for name in transforms}
+        # all planted transform pairs recovered...
+        assert expected <= got, expected - got
+        # ...and no pair involves a distinct image
+        assert not any(
+            any(m.startswith("other") for m in pair) for pair in got
+        ), got
+
+    def test_avg_hash_misses_noise_downsample(self):
+        """Documents WHY the dct method exists: on white-noise imagery
+        (synth_pixels) a half-downsample discards 3/4 of the information
+        and average_hash lands ~20+ bits away — no perceptual hash can
+        survive subsampling of iid noise. The near-dup transform recall
+        test above therefore uses the structured generator."""
+        import numpy as np
+
+        from webscraping_spark.sources import images
+
+        px = images.synth_pixels("noise-src", w=64, h=48)
+        yi = (np.arange(24) * 48) // 24
+        xi = (np.arange(32) * 64) // 32
+        half = px[yi][:, xi]
+        d = bin(
+            (images.average_hash(px) ^ images.average_hash(half)) & (2**64 - 1)
+        ).count("1")
+        assert d > 10  # far outside any usable near-dup radius
+
     def test_audio_stub_plumbing(self, spark):
         from webscraping_spark.operators.multimodal import audio_features
 

@@ -233,23 +233,34 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def banded_hamming_pairs(
-    sig: DataFrame, sig_col: str, max_hamming: int, id_col: str = "id"
+    sig: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    id_col: str = "id",
+    n_bands: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs of 64-bit signatures within
-    ``max_hamming`` bits, via a banded equi-self-join: 4 x 16-bit chunks —
-    by pigeonhole, pairs within Hamming <= 3 MUST agree on >= 1 chunk
-    (exact recall); wider radii trade recall, documented at each caller.
+    ``max_hamming`` bits, via a banded equi-self-join on ``n_bands``
+    equal-width chunks (64 must divide evenly) — by pigeonhole, pairs
+    within Hamming <= n_bands - 1 MUST agree on >= 1 chunk (exact recall);
+    wider radii trade recall, documented at each caller. More bands buy a
+    larger exact radius but narrower chunks (64/n_bands bits -> fewer
+    distinct bucket values -> more candidate collisions), so callers pick
+    the smallest n_bands whose exact radius covers their transforms.
     No all-pairs product anywhere: candidate generation is an equi-join on
     (chunk_idx, chunk) — the same shuffle shape at 10^10 rows as at 10^3.
     Shared by text SimHash and image perceptual-hash dedup."""
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     chunks = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("_sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col(sig_col), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col(sig_col), width * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
                 ]
             )
         ).alias("chunk_idx", "chunk"),

