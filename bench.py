@@ -292,11 +292,21 @@ def run_headline_queries(spark, sf_dir: str, timings: dict) -> None:
     qs = entrymod.queries()
     qs = dict(qs, minhash_near_dupes=_bench_minhash_operator)
     for name in headline:
-        t = time.time()
+        # best of 2: the queries run FIRST in the session (see main), so
+        # run 1 pays codegen JIT + Python-worker spawn that is cold-start,
+        # not query cost — without this, q_* times measure session age
+        # (round-2 ran them warm after the pipeline, round-3's drift came
+        # from running them in a dirtied session; best-of-2-in-a-clean-
+        # session is comparable to both and stable)
+        runs = []
         try:
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[f"q_{name}"] = round(time.time() - t, 3)
+            for _ in range(2):
+                t = time.time()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t, 3))
+            timings[f"q_{name}"] = min(runs)
+            timings[f"q_{name}_runs"] = runs
         except Exception as exc:  # one broken query must not kill the JSON
             timings[f"q_{name}"] = -1.0
             print(f"# bench query {name} failed: {exc}", file=sys.stderr)
