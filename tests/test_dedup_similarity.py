@@ -205,6 +205,29 @@ class TestTextStats:
         }
         assert got == {1: 3, 2: 0, 3: 1}
 
+    def test_repetition_signals(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # 4 lines, one duplicated; 6 tokens, 'nav' twice;
+                # bigrams: 5 total, 'nav home' twice
+                (1, "nav home\nbody text\nnav home\nfooter"),
+                # machine loop: 'buy now buy now buy now' -> top bigram
+                # 'buy now' 3/5, dup tokens 4/6
+                (2, "buy now buy now buy now"),
+                (3, "all tokens unique here today"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in textstats.repetition_signals(docs).collect()}
+        assert got[1]["dup_line_frac"] == pytest.approx(0.25)
+        assert got[2]["dup_token_frac"] == pytest.approx(1 - 2 / 6)
+        assert got[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+        assert got[3]["dup_token_frac"] == 0.0
+        assert got[3]["top_bigram_frac"] == pytest.approx(1 / 4)
+        assert got[4]["dup_token_frac"] == 0.0
+        assert got[4]["top_bigram_frac"] == 0.0
+
 
 class TestMultimodal:
     def test_image_verify_pipeline(self, spark):
@@ -323,22 +346,150 @@ class TestMultimodal:
         ).count("1")
         assert d > 10  # far outside any usable near-dup radius
 
-    def test_audio_stub_plumbing(self, spark):
+    def test_audio_unknown_codec_falls_back_to_hint(self, spark):
         from webscraping_spark.operators.multimodal import audio_features
 
         tracks = spark.createDataFrame(
-            [("t1", bytearray(b"\x00" * 32000), "pcm16", 16000)],
+            [("t1", bytearray(b"\x00" * 32000), "mp3", 16000)],
             "track_id string, bytes binary, codec string, sample_rate int",
         )
         got = audio_features(tracks).collect()
         assert len(got) == 1
-        assert got[0]["duration_sec_hint"] == pytest.approx(1.0)
+        assert got[0]["duration_sec"] == pytest.approx(1.0)
+        assert got[0]["decoded"] is False
+        assert got[0]["rms"] is None
 
-    def test_video_stub_raises(self, spark):
+    def test_audio_wav_real_features(self, spark):
+        """WAV decodes for real: a 440 Hz amp-0.5 tone must read its
+        analytic RMS (a/sqrt2), ZCR (2f/rate) and centroid (f)."""
+        from webscraping_spark.operators.multimodal import audio_features
+        from webscraping_spark.sources import audio
+
+        rate, n = 8000, 8000
+        blob = audio.encode_wav(audio.synth_tone(440.0, 0.5, n, rate), rate)
+        tracks = spark.createDataFrame(
+            [("t1", bytearray(blob), "wav", rate)],
+            "track_id string, bytes binary, codec string, sample_rate int",
+        )
+        row = audio_features(tracks).collect()[0]
+        assert row["decoded"] is True
+        assert row["duration_sec"] == pytest.approx(1.0)
+        assert row["rms"] == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+        assert row["zcr"] == pytest.approx(2 * 440 / rate, rel=0.01)
+        assert row["centroid_hz"] == pytest.approx(440.0, rel=0.01)
+
+    def test_audio_unknown_codec_raises_on_error(self, spark):
+        from webscraping_spark.operators.multimodal import audio_features
+
+        tracks = spark.createDataFrame(
+            [("t1", bytearray(b"\x00" * 100), "ogg", 16000)],
+            "track_id string, bytes binary, codec string, sample_rate int",
+        )
+        with pytest.raises(Exception):  # NotImplementedError crosses Py4J
+            audio_features(tracks, on_missing="error").collect()
+
+    def test_video_y4m_frame_sampling(self, spark):
+        """Y4M decodes for real: every-5th-frame sampling of 12 constant-
+        color frames returns indices 0,5,10 with PNG payloads whose pixels
+        round-trip the known color within the YUV quantization budget."""
+        import numpy as np
+
+        from webscraping_spark.operators.multimodal import sample_video_frames
+        from webscraping_spark.sources import images, video
+
+        frames = video.synth_flat_frames(7, n_frames=12, w=16, h=12)
+        blob = video.encode_y4m(frames, fps=(30, 1), chroma="444")
+        videos = spark.createDataFrame(
+            [("v7", bytearray(blob), "y4m")],
+            "video_id string, bytes binary, codec string",
+        )
+        got = {r["frame_idx"]: r for r in sample_video_frames(videos, every_n=5).collect()}
+        assert set(got) == {0, 5, 10}
+        for idx, row in got.items():
+            px = images.decode_png(bytes(row["frame_png"]))
+            assert px.shape == (12, 16, 3)
+            assert np.abs(px.astype(int) - frames[idx].astype(int)).max() <= 1
+            lum = float((frames[idx].astype(float) @ [0.299, 0.587, 0.114]).mean())
+            assert row["mean_luma"] == pytest.approx(lum, abs=1.5)
+
+    def test_video_compressed_codec_still_raises(self, spark):
         from webscraping_spark.operators.multimodal import sample_video_frames
 
         videos = spark.createDataFrame(
-            [("v1", bytearray(b"xx"))], "video_id string, bytes binary"
+            [("v1", bytearray(b"xx"), "h264")],
+            "video_id string, bytes binary, codec string",
         )
         with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary
             sample_video_frames(videos).collect()
+
+
+class TestConnectedComponents:
+    """Near-dup clustering (dedup.connected_components): alternating
+    large-star/small-star must agree with a driver-side union-find on any
+    edge set, converge in O(log n) rounds on high-diameter graphs, and
+    reduce the planted corpus to one canonical doc per cluster."""
+
+    @staticmethod
+    def _union_find(n_ids, edges):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # min-id labeling needs a second pass after all unions
+        return {i: find(i) for i in n_ids}
+
+    def _check(self, spark, edges):
+        ids = sorted({x for e in edges for x in e})
+        expect = self._union_find(ids, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expect
+
+    def test_random_graph_matches_union_find(self, spark):
+        rng = np.random.default_rng(11)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 120, size=(200, 2))
+            if a != b
+        ]
+        self._check(spark, edges)
+
+    def test_long_chain_converges_logarithmically(self, spark):
+        # a 200-node path has diameter 199: min-label propagation would
+        # need 199 rounds; star-contraction must finish inside max_iter=25
+        edges = [(i, i + 1) for i in range(200)]
+        self._check(spark, edges)
+
+    def test_disjoint_cliques_and_bridges(self, spark):
+        edges = (
+            [(i, j) for i in range(5) for j in range(i + 1, 5)]  # clique 0-4
+            + [(10, 11), (11, 12), (12, 10)]  # triangle
+            + [(20, 21)]  # lone pair
+            + [(4, 12)]  # bridge merges clique + triangle
+        )
+        self._check(spark, edges)
+
+    def test_keep_representatives_on_planted_corpus(self, spark):
+        docs = corpus(spark)
+        pairs = dedup.minhash_near_dupes(
+            docs, threshold=0.5, n_hashes=64, n_bands=16
+        )
+        comp = dedup.connected_components(pairs)
+        kept = dedup.keep_representatives(docs, comp)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        # docs 0,1,2 (exact dupes) and 3 (near dup) collapse to rep 0;
+        # every random doc is a singleton and survives
+        assert 0 in ids
+        assert ids.isdisjoint({1, 2, 3})
+        assert ids == {0} | set(range(4, 40))

@@ -17,6 +17,9 @@ Operators:
   simhash             64-bit SimHash over token hashes; near-dup via
                       banded Hamming join
   embedding_near_dupes cosine > threshold pairs via block self-join
+  connected_components cluster the near-dup PAIR sets into components
+                      (alternating large-star/small-star, O(log n) rounds)
+  keep_representatives docs minus non-canonical cluster members
 """
 
 from __future__ import annotations
@@ -288,6 +291,158 @@ def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
     """Banded Hamming join over text SimHash signatures (see
     banded_hamming_pairs; radius > 3 trades recall)."""
     return banded_hamming_pairs(simhash(docs, **kw), "simhash", max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the emitted pair sets
+# ---------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond", alg. 2): for every node u, connect each
+    strictly-larger neighbor to min(N(u) ∪ {u}). One symmetrize + one
+    keyed min HashAggregate + one equi-join — no neighbor lists are ever
+    collected, so a hot node with 10^7 near-dup partners costs a single
+    map-side-combinable min, not a collect_set blowup."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round (ibid., alg. 3): orient every edge high→low, then
+    connect each of u's (all strictly-smaller) neighbors — and u itself —
+    to the smallest of them. Same shuffle shape as the large-star."""
+    oriented = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .union(mins.select("u", F.col("_m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster an undirected pair set into components: (id, component)
+    where ``component`` is the minimum id reachable from ``id``; every
+    node appearing in ``pairs`` gets a row (components of size 1 never
+    appear in a pair set — callers coalesce absent ids to themselves).
+
+    Alternating large-star/small-star converges in O(log n) rounds
+    REGARDLESS of component diameter (plain min-label propagation needs
+    O(diameter) rounds — a 10^6-long chain of near-identical crawl pages
+    would need 10^6 shuffles). Each round is two keyed min-aggregates and
+    two equi-joins on the node id; nothing is ever widened beyond
+    (node, node) rows, so the peak shuffle is O(|edges|) at every round.
+
+    Per round the edge set is ``localCheckpoint``-ed — materialized AND
+    its logical plan truncated to a flat scan of the materialized rows.
+    Truncation is load-bearing, not an optimization: each round's plan
+    references the previous round's plan twice (the symmetrize union and
+    the min-join), so under plain ``persist()`` the LOGICAL plan doubles
+    per round and Catalyst canonicalization goes exponential — a 200-node
+    chain (≈13 rounds) OOMs the driver before any data is big. The
+    checksum then reduces each round to 2 driver values (count + bit_xor
+    of row hashes) — the only driver state. Convergence = small-star
+    output fixpoint (the paper's theorem 2: iterate until no change).
+    Superseded rounds' checkpoint RDDs are released by Spark's
+    ContextCleaner as the loop drops its references (same lifecycle
+    GraphFrames uses); on a real cluster swap ``localCheckpoint`` for
+    reliable ``.checkpoint()`` (``setCheckpointDir``) so executor loss
+    cannot ask a 30-round lineage to re-derive 100 TB — semantics are
+    identical.
+
+    Works for any orderable id type (long doc ids, string image ids).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        # bit_xor, not sum: order-independent over the distinct edge set
+        # and cannot overflow under ANSI mode
+        row = e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # eager=True: materialize now and truncate lineage to a LogicalRDD
+        # (see docstring — persist() alone leaves an exponentially-growing
+        # logical plan). The superseded round's checkpoint is unpersisted
+        # by the ContextCleaner once this rebind drops the last reference.
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(theoretical bound is O(log n); raise max_iter)"
+        )
+
+    # at the fixpoint every edge points child -> its component root
+    assign = (
+        edges.select(
+            F.greatest("u", "v").alias("id"), F.least("u", "v").alias("component")
+        )
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+    roots = (
+        assign.select(F.col("component").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    return assign.unionByName(roots)
+
+
+def keep_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every clustered doc except its component's minimum-id
+    representative: docs LEFT JOIN the (id, component) map, keep rows
+    whose id is absent (singleton) or equals its component root. The join
+    key is the doc id, so this co-partitions with any downstream
+    id-keyed work; the components side is tiny relative to docs (only
+    clustered ids appear) and broadcasts under AQE when it fits."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_component")
+    )
+    return (
+        docs.join(comp, id_col, "left")
+        .filter(
+            F.col("_component").isNull() | (F.col("_component") == F.col(id_col))
+        )
+        .drop("_component")
+    )
 
 
 # ---------------------------------------------------------------------------
