@@ -1,0 +1,95 @@
+"""Deterministic sampling operators (operators/sampling.py): hash splits,
+stratified top-k, fraction sampling. The oracle-parity twin runs in
+test_entry (hash_split_docs / stratified_sample_docs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webscraping_spark.operators import sampling
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(2000).withColumn(
+        "grp", (F.col("id") % 7).cast("string")
+    )
+
+
+class TestHashSplit:
+    def test_partition_complete_and_disjoint(self, spark, ids):
+        out = sampling.hash_split(ids, "id")
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        assert set(counts) == {"train", "val", "test"}
+
+    def test_proportions_near_fractions(self, spark, ids):
+        out = sampling.hash_split(ids, "id", {"a": 0.5, "b": 0.5}, salt="x")
+        n_a = out.filter(F.col("split") == "a").count()
+        assert 850 < n_a < 1150  # 0.5 +/- ~5 sigma at n=2000
+
+    def test_deterministic_and_partitioning_invariant(self, spark, ids):
+        a = sampling.hash_split(ids, "id").orderBy("id").collect()
+        b = sampling.hash_split(ids.repartition(13), "id").orderBy("id").collect()
+        assert [r["split"] for r in a] == [r["split"] for r in b]
+
+    def test_salt_changes_assignment(self, spark, ids):
+        a = sampling.hash_split(ids, "id", salt="s1").filter("split = 'train'")
+        b = sampling.hash_split(ids, "id", salt="s2").filter("split = 'train'")
+        sym = a.select("id").exceptAll(b.select("id")).count()
+        assert sym > 0
+
+    def test_rejects_bad_fractions(self, spark, ids):
+        with pytest.raises(ValueError):
+            sampling.hash_split(ids, "id", {"a": 0.7, "b": 0.7})
+
+    def test_matches_duckdb_hash(self, spark, ids):
+        """The cross-engine contract behind the oracle: Spark's
+        conv(substr(md5,1,8),16,10) == DuckDB's ('0x'||substr)::UBIGINT."""
+        import duckdb
+
+        rows = (
+            ids.limit(50)
+            .select("id", sampling._hash_bucket(F.col("id"), "s42").alias("h"))
+            .collect()
+        )
+        con = duckdb.connect()
+        for r in rows:
+            (dh,) = con.execute(
+                "SELECT ('0x' || substr(md5(? || ':s42'), 1, 8))::UBIGINT",
+                [str(r["id"])],
+            ).fetchone()
+            assert dh == r["h"]
+
+
+class TestStratifiedSample:
+    def test_exact_k_per_stratum(self, spark, ids):
+        out = sampling.stratified_sample(ids, ["grp"], k=5, id_col="id")
+        counts = [r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()]
+        assert counts == [5] * 7
+
+    def test_small_stratum_keeps_all(self, spark):
+        df = spark.range(3).withColumn("grp", F.lit("only"))
+        assert sampling.stratified_sample(df, ["grp"], k=10, id_col="id").count() == 3
+
+    def test_deterministic(self, spark, ids):
+        a = sampling.stratified_sample(ids, ["grp"], 4, "id").orderBy("id").collect()
+        b = (
+            sampling.stratified_sample(ids.repartition(9), ["grp"], 4, "id")
+            .orderBy("id")
+            .collect()
+        )
+        assert [r["id"] for r in a] == [r["id"] for r in b]
+
+
+class TestFractionSample:
+    def test_fraction_and_nesting(self, spark, ids):
+        ten = sampling.fraction_sample(ids, "id", 0.1)
+        thirty = sampling.fraction_sample(ids, "id", 0.3)
+        n10, n30 = ten.count(), thirty.count()
+        assert 130 < n10 < 270 and 500 < n30 < 700
+        # threshold sampling nests: the 10% set is a subset of the 30% set
+        assert ten.select("id").exceptAll(thirty.select("id")).count() == 0
+
+    def test_zero_shuffle_plan(self, spark, ids):
+        plan = sampling.fraction_sample(ids, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -1,0 +1,108 @@
+"""Deterministic dataset-curation sampling: hash splits and stratified
+top-k sampling for training-data pipelines.
+
+A 100-TB corpus cannot be split with ``rand()`` — re-running the job (or
+adding an executor) would reassign rows, leaking val into train. The
+standard practice is a salted content-hash split: every row's assignment
+is a pure function of (id, salt), reproducible across engines, runs and
+cluster sizes. The hash here is the first 8 hex digits of md5 — chosen
+over xxhash64 deliberately because md5 is available bit-identically in
+every engine (Spark, DuckDB, Presto, Postgres), which is what makes the
+assignment auditable by an independent oracle.
+
+Plan shapes:
+  - ``hash_split``: pure map (md5 + conv + CASE), zero shuffle, survives
+    any partitioning. Whole-stage codegen, no Python.
+  - ``stratified_sample``: one shuffle on the strata columns (required by
+    the semantics) + in-partition top-k via row_number; no global sort.
+    Skewed strata are bounded by k: the window only ranks, the filter
+    drops immediately, nothing accumulates beyond the partition sort.
+    For extreme single-stratum skew at scale, pre-aggregation with
+    ``min_by``-style partial top-k (AQE skew-join handles the exchange).
+
+Reference tie-in: the reference's sampling surface is ``random.choice``
+on user agents (alg.py:223-258) and ad-hoc slicing; these operators are
+the engine-level generalization the training-data ambition needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 32-bit bucket space: md5's first 8 hex digits as an unsigned int
+_BUCKETS = 1 << 32
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Uniform uint32 from (id, salt): conv(substr(md5, 1, 8), 16, 10).
+
+    Bit-identical in DuckDB as ('0x' || substr(md5(id || ':' || salt),
+    1, 8))::UBIGINT — the oracle twin relies on this.
+    """
+    key = F.concat(id_col.cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "s42",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by salted content hash.
+
+    ``fractions`` maps split name -> fraction (must sum to ~1); rows land
+    in splits by cumulative bucket thresholds, so the assignment is a
+    pure per-row function — deterministic across runs, engines and
+    partitionings, and changing the salt produces an independent split.
+    """
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, last)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str,
+    salt: str = "s42",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by salted hash
+    order (ties broken by id) — a deterministic 'random' sample any other
+    engine can reproduce row-for-row from the same salt."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(*strata_cols).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def fraction_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "s42"
+) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample: keep rows whose hash
+    bucket falls below fraction * 2^32. Pure map, zero shuffle; the SAME
+    rows are kept on every run and engine (unlike ``df.sample``, whose
+    output depends on partitioning)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(
+        _hash_bucket(F.col(id_col), salt) < int(round(fraction * _BUCKETS))
+    )

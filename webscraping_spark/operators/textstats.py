@@ -65,6 +65,59 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return docs.select(F.col(id_col), *[c.alias(name) for name, c in cols.items()])
 
 
+def repetition_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition filters as pure JVM column expressions:
+
+      - dup_line_frac: 1 - distinct/total over newline-split lines (boiler-
+        plate pages repeat nav/footer lines)
+      - dup_token_frac: 1 - distinct/total over whitespace tokens
+      - top_bigram_frac: occurrences of the most frequent word bigram over
+        total bigrams (the classic 'repeated phrase' machine-text signal)
+
+    All higher-order array functions (transform/filter/array_max) inside
+    whole-stage codegen — no shuffle, no Python; the top-bigram mode is
+    O(distinct x total) per row in the JVM, bounded by document length.
+    At 100 TB this is a pure map over the scan like the other quality
+    signals, so it fuses into the same stage.
+    """
+    t = F.trim(F.col(text_col))
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(t), "\\s+")
+    )
+    n_toks = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_bg = F.size(bigrams)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda x: F.size(F.filter(bigrams, lambda y: y == x)),
+        )
+    )
+    def dup_frac(arr, n):
+        # empty input has no duplicates (the greatest() guard alone would
+        # read 1 - 0/1 = 1.0 and flag empty docs as fully repeated)
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(arr)) / n, 6)
+        )
+
+    return docs.select(
+        F.col(id_col),
+        dup_frac(lines, n_lines).alias("dup_line_frac"),
+        dup_frac(toks, n_toks).alias("dup_token_frac"),
+        F.round(
+            F.coalesce(top_bg, F.lit(0)) / F.greatest(n_bg, F.lit(1)).cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def langid(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language guess: argmax over per-language hit rates.
 
