@@ -3,11 +3,15 @@ typed metadata, processed in Arrow batches.
 
 The image path is fully real (pure-numpy codecs in sources/images.py):
 decode, verify (allclose / PSNR >= 40 dB per BASELINE.json input_hint),
-perceptual-hash, resize, and grid feature extraction. Audio decode and
-video frame-sampling have real Spark plumbing (schema, batching, UDF
-signatures) with the codec step stubbed — the libraries are not in this
-container; the stubs raise NotImplementedError exactly at the decode call
-so swapping in soundfile/pyav is a one-line change.
+perceptual-hash, resize, and grid feature extraction. Audio and video are
+real for the UNCOMPRESSED public container formats this sandbox can parse
+without codec libraries — WAV/RIFF PCM (sources/audio.py: duration, RMS,
+zero-crossing rate, spectral centroid) and YUV4MPEG2 (sources/video.py:
+frame sampling + PNG re-encode). Compressed codecs (mp3/ogg, h264/vp9)
+remain honestly stubbed: the stub raises NotImplementedError exactly at
+the decode call so swapping in soundfile/pyav is a one-line change, and
+``on_missing="skip"`` keeps the pipeline shape-correct with metadata-only
+fallbacks.
 """
 
 from __future__ import annotations
@@ -226,59 +230,124 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-# --- stubbed modalities (plumbing real, codec stubbed) ----------------------
+# --- audio / video (real for uncompressed containers, stub for codecs) ------
 
 
-def decode_audio_stub(batch_pdf: pd.DataFrame) -> np.ndarray:
-    """Audio decode stub — no audio codec library ships in this container.
-    The mapInPandas plumbing in `audio_features` is real and tested with
-    this raising; swap in soundfile.read here when available."""
-    raise NotImplementedError("audio codec not available in this environment")
+def decode_audio(payload: bytes, codec: str) -> tuple[np.ndarray, int]:
+    """Decode one audio blob -> ((n, ch) int16, rate). WAV/RIFF PCM decodes
+    for real (sources/audio.py); compressed codecs raise NotImplementedError
+    exactly here — swap in soundfile.read when the library is available."""
+    from webscraping_spark.sources import audio
+
+    if codec == "wav":
+        return audio.decode_wav(payload)
+    raise NotImplementedError(f"audio codec {codec!r} not available in this environment")
 
 
 def audio_features(tracks: DataFrame, on_missing: str = "skip") -> DataFrame:
-    """(track_id, duration_hint, feature stub) over (track_id, bytes, codec,
-    sample_rate). Schema/batching identical to the image path."""
+    """Per-track features over (track_id, bytes, codec, sample_rate):
+    (track_id, duration_sec, rms, zcr, centroid_hz, decoded).
+
+    WAV rows decode for real and get the standard analytic features
+    (sources/audio.py); rows whose codec is unavailable either raise
+    (on_missing="error") or fall back to a metadata-only duration hint
+    (byte length / (rate * 2)) with NULL features and decoded=false, so a
+    mixed-codec corpus at scale still flows through one schema.
+    """
 
     def featurize(batches):
+        from webscraping_spark.sources import audio
+
         for pdf in batches:
-            ids, durs = [], []
+            ids, durs, rmss, zcrs, cents, dec = [], [], [], [], [], []
             for i in range(len(pdf)):
+                blob = bytes(pdf["bytes"].iloc[i])
                 try:
-                    decode_audio_stub(pdf.iloc[[i]])
+                    samples, rate = decode_audio(blob, pdf["codec"].iloc[i])
                 except NotImplementedError:
-                    if on_missing == "skip":
-                        # deterministic metadata-only fallback: duration from
-                        # byte length / (rate * 2 bytes) — keeps the pipeline
-                        # shape-correct without the codec
-                        ids.append(pdf["track_id"].iloc[i])
-                        durs.append(
-                            len(pdf["bytes"].iloc[i]) / (float(pdf["sample_rate"].iloc[i]) * 2.0)
-                        )
-                    else:
+                    if on_missing != "skip":
                         raise
-            yield pd.DataFrame({"track_id": ids, "duration_sec_hint": durs})
+                    ids.append(pdf["track_id"].iloc[i])
+                    durs.append(len(blob) / (float(pdf["sample_rate"].iloc[i]) * 2.0))
+                    rmss.append(None)
+                    zcrs.append(None)
+                    cents.append(None)
+                    dec.append(False)
+                    continue
+                ids.append(pdf["track_id"].iloc[i])
+                durs.append(samples.shape[0] / float(rate))
+                rmss.append(audio.rms_level(samples))
+                zcrs.append(audio.zero_crossing_rate(samples))
+                cents.append(audio.spectral_centroid_hz(samples, rate))
+                dec.append(True)
+            yield pd.DataFrame(
+                {
+                    "track_id": ids,
+                    "duration_sec": pd.Series(durs, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "zcr": pd.Series(zcrs, dtype="float64"),
+                    "centroid_hz": pd.Series(cents, dtype="float64"),
+                    "decoded": pd.Series(dec, dtype="bool"),
+                }
+            )
 
     return tracks.select("track_id", "bytes", "codec", "sample_rate").mapInPandas(
-        featurize, "track_id string, duration_sec_hint double"
+        featurize,
+        "track_id string, duration_sec double, rms double, zcr double, "
+        "centroid_hz double, decoded boolean",
     )
 
 
-def sample_video_frames(videos: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame-sampling plumbing: (video_id, frame_idx, frame_png).
-    The container decode is stubbed (NotImplementedError) — the operator
-    exists so the partitioning/UDF shape is locked in and tested."""
+def sample_video_frames(
+    videos: DataFrame, every_n: int = 30, codec_col: str = "codec"
+) -> DataFrame:
+    """Frame sampling over (video_id, bytes[, codec]): every ``every_n``-th
+    frame, decoded and re-encoded as PNG -> (video_id, frame_idx, frame_png,
+    mean_luma). YUV4MPEG2 ("y4m") decodes for real (sources/video.py);
+    compressed codecs raise NotImplementedError exactly at the decode call.
+    Rows fan OUT (one per sampled frame), so mapInPandas yields one output
+    frame-batch per input video to bound Arrow batch memory by the video,
+    not the batch."""
+
+    has_codec = codec_col in videos.columns
+    cols = ["video_id", "bytes"] + ([codec_col] if has_codec else [])
 
     def sample(batches):
+        from webscraping_spark.sources import images, video
+
         for pdf in batches:
             for i in range(len(pdf)):
-                raise NotImplementedError(
-                    "video codec not available in this environment"
+                codec = pdf[codec_col].iloc[i] if has_codec else "y4m"
+                if codec != "y4m":
+                    raise NotImplementedError(
+                        f"video codec {codec!r} not available in this environment"
+                    )
+                frames, _ = video.decode_y4m(bytes(pdf["bytes"].iloc[i]))
+                idxs = list(range(0, frames.shape[0], every_n))
+                lum = np.array([0.299, 0.587, 0.114])
+                yield pd.DataFrame(
+                    {
+                        "video_id": [pdf["video_id"].iloc[i]] * len(idxs),
+                        "frame_idx": pd.Series(idxs, dtype="int64"),
+                        "frame_png": [
+                            bytearray(images.encode_png(frames[j])) for j in idxs
+                        ],
+                        "mean_luma": pd.Series(
+                            [float((frames[j] @ lum).mean()) for j in idxs],
+                            dtype="float64",
+                        ),
+                    }
                 )
             yield pd.DataFrame(
-                {"video_id": pd.Series([], dtype="object"), "frame_idx": pd.Series([], dtype="int64"), "frame_png": pd.Series([], dtype="object")}
+                {
+                    "video_id": pd.Series([], dtype="object"),
+                    "frame_idx": pd.Series([], dtype="int64"),
+                    "frame_png": pd.Series([], dtype="object"),
+                    "mean_luma": pd.Series([], dtype="float64"),
+                }
             )
 
-    return videos.select("video_id", "bytes").mapInPandas(
-        sample, "video_id string, frame_idx long, frame_png binary"
+    return videos.select(*cols).mapInPandas(
+        sample,
+        "video_id string, frame_idx long, frame_png binary, mean_luma double",
     )
