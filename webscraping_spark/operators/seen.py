@@ -40,6 +40,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SEEN_SCHEMA = "partition int, kind string, filter_bytes binary, n_items long"
+# the exact URL-seen row shape (shared with plans.crawl.SEEN_SCHEMA so the
+# empty-set constructor can never diverge from the delta writes)
+EXACT_SEEN_SCHEMA = "url_hash long, depth int"
 
 
 # --------------------------------------------------------------------------
@@ -187,7 +190,7 @@ class ExactSeenSet:
 
     @classmethod
     def empty(cls, spark) -> "ExactSeenSet":
-        return cls(spark.createDataFrame([], "url_hash long, depth int"))
+        return cls(spark.createDataFrame([], EXACT_SEEN_SCHEMA))
 
     def filter_unseen(self, candidates: DataFrame, on: str = "url_hash") -> DataFrame:
         """Left ANTI join: candidates not already seen.

@@ -60,7 +60,7 @@ CLAIMS_SCHEMA = "url_hash long, seq long, status int"
 VISITED_SCHEMA = "url_hash long, fetched_at double, ok boolean, status404 boolean"
 # the URL-seen set (link-found marks); restore's empty-tail path derives
 # its schema from here so it can never diverge from the delta writes
-SEEN_SCHEMA = "url_hash long, depth int"
+from webscraping_spark.operators.seen import EXACT_SEEN_SCHEMA as SEEN_SCHEMA
 
 
 @dataclass
