@@ -9,6 +9,7 @@ match pairwise by construction.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -662,6 +663,152 @@ def q_image_dct_near_dup(spark, sf_dir):
     return missing.unionByName(extra)
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher/C4-style repetition quality filters (textstats.repetition_
+    signals): dup-line fraction, dup-token fraction, top-bigram fraction —
+    pure JVM higher-order array expressions; the oracle re-derives all
+    three with DuckDB list comprehensions."""
+    from webscraping_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_hash_split_docs(spark, sf_dir):
+    """Deterministic salted-hash train/val/test split (operators/sampling
+    .py hash_split): every row's assignment is a pure function of
+    (doc_id, salt) — zero shuffle, reproducible across engines, which the
+    oracle proves by re-deriving every assignment from DuckDB's own md5."""
+    from webscraping_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sample: exactly min(3, |stratum|) docs per
+    source, chosen by salted md5 order — row-for-row reproducible by the
+    oracle (operators/sampling.py stratified_sample)."""
+    from webscraping_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["source"], k=3, id_col="doc_id").select(
+        "source", "doc_id"
+    )
+
+
+def q_audio_tone_features(spark, sf_dir):
+    """Audio features over REAL WAV decode (sources/audio.py — RIFF PCM is
+    parseable without codec libraries): 24 deterministic tones whose
+    frequency/amplitude/length are plain arithmetic in doc_id. The oracle
+    re-derives each track's exact duration (n_samples/rate, an exact binary
+    fraction) and asserts the analytic invariants the decode must hit: RMS
+    = amp/sqrt(2) (integer period count by construction), zero-crossing
+    rate = 2f/rate, spectral centroid = f."""
+    from webscraping_spark.operators.multimodal import audio_features
+    from webscraping_spark.sources import audio
+
+    rate = 8000
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for d in doc_ids:
+        freq = 200.0 + (d % 16) * 100.0
+        amp = 0.1 + (d % 8) * 0.1
+        n = 4000 + (d % 5) * 2000
+        blob = audio.encode_wav(audio.synth_tone(freq, amp, n, rate), rate)
+        rows.append((f"a{d}", bytearray(blob), "wav", rate, freq, amp))
+    tracks = spark.createDataFrame(
+        rows,
+        "track_id string, bytes binary, codec string, sample_rate int, "
+        "exp_freq double, exp_amp double",
+    )
+    feats = audio_features(tracks.select("track_id", "bytes", "codec", "sample_rate"))
+    return feats.join(
+        tracks.select("track_id", "exp_freq", "exp_amp"), "track_id"
+    ).select(
+        "track_id",
+        "duration_sec",
+        "decoded",
+        (F.abs(F.col("rms") - F.col("exp_amp") / math.sqrt(2.0)) < 1e-3).alias("rms_ok"),
+        (F.abs(F.col("zcr") - 2.0 * F.col("exp_freq") / rate) < 0.01).alias("zcr_ok"),
+        (F.abs(F.col("centroid_hz") - F.col("exp_freq")) < 2.0).alias("centroid_ok"),
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Frame sampling over REAL YUV4MPEG2 decode (sources/video.py): 6
+    synthetic videos of constant-color frames whose RGB is arithmetic in
+    (video_id, frame_idx), sampled every 5th frame. The oracle re-derives
+    the exact sampled frame-index set per video (range arithmetic) and the
+    luma invariant: the decoded frame's mean luma must sit within the YUV
+    round-trip quantization budget (1.5) of the analytic 0.299r+0.587g+
+    0.114b of the planted color."""
+    from webscraping_spark.operators.multimodal import sample_video_frames
+    from webscraping_spark.sources import video
+
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 6)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for d in doc_ids:
+        frames = video.synth_flat_frames(d, n_frames=12 + d * 3, w=16, h=12)
+        rows.append((f"v{d}", bytearray(video.encode_y4m(frames)), "y4m"))
+    videos = spark.createDataFrame(rows, "video_id string, bytes binary, codec string")
+    out = sample_video_frames(videos, every_n=5)
+    vid = F.substring("video_id", 2, 10).cast("long")
+    r = (vid * 37 + F.col("frame_idx") * 11) % 256
+    g = (vid * 59 + F.col("frame_idx") * 23) % 256
+    b = (vid * 83 + F.col("frame_idx") * 41) % 256
+    exp_luma = 0.299 * r + 0.587 * g + 0.114 * b
+    return out.select(
+        "video_id",
+        "frame_idx",
+        (F.abs(F.col("mean_luma") - exp_luma) <= 1.5).alias("luma_ok"),
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash+LSH pairs (already hard-
+    oracled to equal the exact-Jaccard >= 0.5 pair set on this bounded doc
+    slice) -> connected components via alternating large-star/small-star
+    (dedup.connected_components, O(log n) shuffle rounds regardless of
+    component diameter) -> keep_representatives. Returns one row per doc
+    with its component label (singletons labeled by themselves) and the
+    kept flag actually produced by keep_representatives. The oracle
+    re-derives the components independently with a DuckDB recursive CTE
+    (min reachable id over the exact-Jaccard graph), so the star-
+    contraction fixpoint is checked against transitive closure itself."""
+    from webscraping_spark.operators.dedup import (
+        connected_components,
+        keep_representatives,
+        minhash_near_dupes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_near_dupes(docs, threshold=0.5, n_hashes=64, n_bands=16)
+    comp = connected_components(pairs)
+    kept = keep_representatives(docs, comp).select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    labeled = docs.select("doc_id").join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    )
+    return labeled.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        F.coalesce("kept", F.lit(False)).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -728,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant queries (hard oracles: exact pair set / empty violation
         # set / full re-derivation / verified count)
         "minhash_near_dupes": q_minhash_near_dupes,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ann_topk_subset": q_ann_topk_subset,
@@ -735,6 +883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": q_image_verify,
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_dct_near_dup": q_image_dct_near_dup,
+        "audio_tone_features": q_audio_tone_features,
+        "video_frame_sample": q_video_frame_sample,
+        "hash_split_docs": q_hash_split_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -1004,6 +1157,125 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5
+        """,
+        "repetition_signals": """
+            -- full re-derivation of the three repetition signals with
+            -- list comprehensions over the same tokenization (lines on
+            -- newline; tokens on whitespace of the lowercased trim)
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) <> '') AS lines,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id, lines, toks,
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN range(1, len(toks))] AS bg
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+                                         / len(lines), 6) END AS dup_line_frac,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(toks))::DOUBLE
+                                         / len(toks), 6) END AS dup_token_frac,
+                   round(coalesce(list_max(
+                             [len(list_filter(bg, y -> y = x))
+                              FOR x IN list_distinct(bg)]), 0)::DOUBLE
+                         / greatest(len(bg), 1), 6) AS top_bigram_frac
+            FROM b
+        """,
+        "hash_split_docs": """
+            -- full re-derivation of every split assignment from DuckDB's
+            -- own md5: bucket = first 8 md5 hex digits of 'doc_id:s42' as
+            -- uint32; thresholds = round(0.9*2^32), round(0.95*2^32)
+            SELECT doc_id,
+                   CASE WHEN b < 3865470566 THEN 'train'
+                        WHEN b < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id || ':s42'), 1, 8))::UBIGINT AS b
+                  FROM documents)
+        """,
+        "stratified_sample_docs": """
+            -- row-for-row re-derivation of the stratified sample: top 3
+            -- per source by salted md5 order, ties by doc_id
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY md5(doc_id || ':s42'), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 3
+        """,
+        "audio_tone_features": """
+            -- exact re-derivation of each WAV track's duration
+            -- (n_samples/rate — an exact binary fraction, so hash-exact)
+            -- plus the analytic decode invariants as literal TRUEs: the
+            -- Spark side must find RMS=amp/sqrt(2), ZCR=2f/rate and
+            -- centroid=f from the DECODED samples
+            SELECT 'a' || doc_id AS track_id,
+                   (4000 + (doc_id % 5) * 2000) / 8000.0 AS duration_sec,
+                   true AS decoded,
+                   true AS rms_ok,
+                   true AS zcr_ok,
+                   true AS centroid_ok
+            FROM documents WHERE doc_id < 24
+        """,
+        "video_frame_sample": """
+            -- exact re-derivation of the sampled frame-index set per video
+            -- (every 5th of 12+3*id frames) plus the luma invariant as a
+            -- literal TRUE: the Spark side must measure each DECODED
+            -- frame's mean luma within the YUV quantization budget of the
+            -- planted color's analytic luma
+            SELECT 'v' || doc_id AS video_id,
+                   unnest(range(0, 12 + doc_id * 3, 5)) AS frame_idx,
+                   true AS luma_ok
+            FROM documents WHERE doc_id < 6
+        """,
+        "near_dup_clusters": """
+            -- independent re-derivation of the near-dup components: the
+            -- exact word-3-shingle Jaccard >= 0.5 graph (the pair set the
+            -- LSH path is oracled to emit), transitively closed with a
+            -- recursive CTE, labeled by min reachable id; kept = the doc
+            -- is its own component root (singletons trivially kept)
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(arr) - 2, 1) + 1)])) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+                      FROM documents WHERE doc_id < 200)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ), reach(id, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+            ), comp AS (
+                SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   (coalesce(c.component, d.doc_id) = d.doc_id) AS kept
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN comp c ON c.id = d.doc_id
         """,
         "simhash": """
             -- violation set: identical-text pairs with different simhash,
