@@ -809,6 +809,29 @@ def q_near_dup_clusters(spark, sf_dir):
     )
 
 
+def q_duplicate_token_spans(spark, sf_dir):
+    """Exact substring-span dedup (Lee et al. 2021 re-expressed for Spark,
+    dedup.duplicate_spans): maximal token ranges covered by any 3-token
+    window that occurs more than once in the corpus. The oracle re-derives
+    the full algorithm in DuckDB joined on the exact window TEXT (not the
+    hash), so an xxhash64 collision or any island-merge divergence would
+    surface as a hard mismatch."""
+    from webscraping_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), n=3)
+
+
+def q_remove_duplicate_spans(spark, sf_dir):
+    """Full text rewrite with duplicated >= 3-token spans removed
+    (dedup.remove_duplicate_spans). The oracle rebuilds every doc's clean
+    text token-for-token in DuckDB (anti-join of token positions against
+    the span set + ordered string_agg), so the higher-order exists()
+    filter is checked by exact string equality on every document."""
+    from webscraping_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=3)
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -888,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_docs": q_hash_split_docs,
         "stratified_sample_docs": q_stratified_sample_docs,
         "repetition_signals": q_repetition_signals,
+        "duplicate_token_spans": q_duplicate_token_spans,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
     }
 
 
@@ -1276,6 +1301,98 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(c.component, d.doc_id) = d.doc_id) AS kept
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
             LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "duplicate_token_spans": """
+            -- full re-derivation of exact substring-span dedup, joined on
+            -- the literal 3-token window TEXT (the Spark side joins on
+            -- xxhash64 of the same text — any collision or island-merge
+            -- divergence breaks the hash compare)
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, s.i - 1 AS pos,
+                       array_to_string(t[s.i:s.i+2], ' ') AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS s(i)
+                WHERE len(t) >= 3
+            ), dup AS (
+                SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1
+            ), cov AS (
+                SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)
+            ), flg AS (
+                SELECT doc_id, pos,
+                       max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_end
+                FROM cov
+            ), isl AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM flg
+            )
+            SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+            FROM isl GROUP BY doc_id, g
+        """,
+        "remove_duplicate_spans": """
+            -- token-for-token rebuild of every doc's clean text: positions
+            -- NOT covered by any duplicated span, re-joined in order
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, s.i - 1 AS pos,
+                       array_to_string(t[s.i:s.i+2], ' ') AS gram
+                FROM toks, unnest(generate_series(1, len(t) - 2)) AS s(i)
+                WHERE len(t) >= 3
+            ), dup AS (
+                SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1
+            ), cov AS (
+                SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gram)
+            ), flg AS (
+                SELECT doc_id, pos,
+                       max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_end
+                FROM cov
+            ), isl AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM flg
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+                FROM isl GROUP BY doc_id, g
+            ), tokpos AS (
+                SELECT doc_id, t[s.i] AS tok, s.i - 1 AS idx
+                FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+            ), kept AS (
+                SELECT tp.doc_id, tp.tok, tp.idx
+                FROM tokpos tp
+                WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                                  WHERE sp.doc_id = tp.doc_id
+                                    AND tp.idx >= sp.s AND tp.idx < sp.e)
+            )
+            SELECT d.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   coalesce(k.n_kept, 0) AS n_tokens_kept,
+                   (CASE WHEN trim(d.text) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                    END) - coalesce(k.n_kept, 0) AS n_tokens_removed
+            FROM documents d
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+                              count(*) AS n_kept
+                       FROM kept GROUP BY doc_id) k
+              ON k.doc_id = d.doc_id
         """,
         "simhash": """
             -- violation set: identical-text pairs with different simhash,

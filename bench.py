@@ -347,6 +347,16 @@ def main():
     # small sf0.1 queries were measuring its residue. Running them first
     # (right after the worker warmup) keeps them comparable round-to-round.
     run_headline_queries(spark, sf_dir, timings)
+    # hand the heap back before the 16M pipeline: drop the queries' cached
+    # blocks, then force a full GC so the pipeline starts with a compacted
+    # old generation (measured: without this, query residue costs the
+    # pipeline ~15% — 42s -> 49s at 16M/local[32]; on a small spark-submit
+    # 1g heap it is the difference between running and OOM)
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass  # non-py4j backends
     n_urls, pipeline_sec = run_frontier_pipeline(spark, n, timings)
     urls_per_sec = n_urls / pipeline_sec if pipeline_sec > 0 else 0.0
 

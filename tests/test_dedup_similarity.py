@@ -493,3 +493,100 @@ class TestConnectedComponents:
         assert 0 in ids
         assert ids.isdisjoint({1, 2, 3})
         assert ids == {0} | set(range(4, 40))
+
+
+class TestSubstringSpanDedup:
+    """dedup.duplicate_spans / remove_duplicate_spans — exact substring
+    dedup (Lee et al. 2021) as a distributed n-gram fingerprint join."""
+
+    DOCS = [
+        (0, "a b c d e f g h"),  # 'c d e' shared with doc 1; whole doc dup of 5
+        (1, "x y c d e z w"),
+        (2, "p q r"),  # unique
+        (3, "m m m m m m"),  # within-doc repeat: windows 0..3 all equal
+        (4, ""),  # empty
+        (5, "a b c d e f g h"),  # exact duplicate of doc 0
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    def test_spans_cross_doc_within_doc_and_exact_dup(self, spark):
+        spans = {
+            (r["doc_id"]): (r["span_start"], r["span_end"])
+            for r in dedup.duplicate_spans(self._docs(spark), n=3).collect()
+        }
+        # exact dup pair: both fully covered
+        assert spans[0] == (0, 8) and spans[5] == (0, 8)
+        # shared 3-token substring: exactly the shared window
+        assert spans[1] == (2, 5)
+        # within-doc repeat covers the whole run of identical tokens
+        assert spans[3] == (0, 6)
+        # unique + empty docs emit no spans
+        assert 2 not in spans and 4 not in spans
+
+    def test_adjacent_windows_merge_to_one_span(self, spark):
+        # doc 0 repeats 'a b c' and (disjointly) 'd e f' from docs 1/2:
+        # windows at 0 and 3 touch (3 <= 0+3) -> single [0, 6) span
+        docs = spark.createDataFrame(
+            [(0, "a b c d e f"), (1, "z a b c z"), (2, "y d e f y")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.duplicate_spans(docs, n=3).collect()
+        )
+        assert (0, 0, 6) in got
+        assert (1, 1, 4) in got and (2, 1, 4) in got
+
+    def test_gap_between_spans_stays_split(self, spark):
+        # doc 0's duplicated windows at 0 and 4 leave token 3 uncovered
+        docs = spark.createDataFrame(
+            [(0, "a b c X d e f"), (1, "a b c"), (2, "d e f")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["span_start"], r["span_end"])
+            for r in dedup.duplicate_spans(docs, n=3)
+            .filter(F.col("doc_id") == 0)
+            .collect()
+        )
+        assert got == [(0, 3), (4, 7)]
+
+    def test_shorter_repeats_are_never_found(self, spark):
+        # only a 2-token overlap: below the n=3 window -> no spans at all
+        docs = spark.createDataFrame(
+            [(0, "a b q q q"), (1, "a b z z z")], "doc_id long, text string"
+        )
+        assert dedup.duplicate_spans(docs, n=3).count() == 0
+
+    def test_remove_rebuilds_clean_text(self, spark):
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+            for r in dedup.remove_duplicate_spans(self._docs(spark), n=3).collect()
+        }
+        assert out[0] == ("", 0, 8)
+        assert out[1] == ("x y z w", 4, 3)
+        assert out[2] == ("p q r", 3, 0)
+        assert out[3] == ("", 0, 6)
+        assert out[4] == ("", 0, 0)
+        assert out[5] == ("", 0, 8)
+
+    def test_planted_corpus_boilerplate_stripped(self, spark):
+        # append the same 10-token footer to otherwise-unique docs: the
+        # footer (and only the footer) must be removed from every doc
+        rng = np.random.default_rng(11)
+        words = "alpha beta gamma delta epsilon zeta eta theta".split()
+        footer = "contact us at example dot com all rights reserved today"
+        rows = [
+            (i, " ".join(rng.choice(words, size=30)) + " " + footer)
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.remove_duplicate_spans(docs, n=8).collect()
+        for r in out:
+            assert "reserved" not in r["clean_text"]
+            # the unique 30-token body survives (random 8-gram collisions
+            # across 8-word-vocab 30-token docs are possible; require most)
+            assert r["n_tokens_kept"] >= 1
+            assert r["n_tokens_removed"] >= 10

@@ -294,6 +294,148 @@ def simhash_near_dupes(docs: DataFrame, max_hamming: int = 8, **kw) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# substring-span dedup: remove duplicated >= n-token spans (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better" — exact
+# substring dedup, re-expressed for Spark: the paper's single-machine
+# suffix array becomes a distributed n-gram fingerprint join, which finds
+# exactly the same >= n-token repeats)
+# ---------------------------------------------------------------------------
+
+
+def _position_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, gh): xxhash64 fingerprint of the n-token window starting at
+    each token position. One row per token — O(corpus tokens), the same
+    asymptotics as the suffix-array construction it replaces — produced by
+    a single codegen projection + posexplode (no Python, no shuffle)."""
+    toks = tokens_col(text_col)
+    n_toks = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    grams = F.when(
+        n_toks >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - n),
+            # n-gram text cannot collide across different token sequences:
+            # tokens are \s+-split so they never contain the joiner space
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(F.col(id_col).alias("id"), grams.alias("_g")).select(
+        "id", F.posexplode("_g").alias("pos", "gh")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans: (id, span_start, span_end) where
+    [span_start, span_end) is a maximal run of tokens each covered by some
+    n-token window that occurs more than once in the corpus (across docs
+    OR repeated within one doc — the reference semantics of exact
+    substring dedup; every repeat >= n tokens is found, shorter repeats
+    never are).
+
+    Plan shape (designed for 10^12-token corpora):
+      1. position-gram fingerprints — pure map over the scan;
+      2. duplicated fingerprints via groupBy(gh).count(): partial (map-
+         side) aggregation absorbs boilerplate hot grams before the
+         exchange, unlike a COUNT() OVER (PARTITION BY gh) window which
+         would hash ALL positions of a hot gram into one task;
+      3. left-semi join positions against the >1 fingerprints (AQE skew
+         join splits any residual hot gram on the probe side);
+      4. gaps-and-islands per doc (one window over (id, pos)): a new span
+         starts where pos exceeds every previous window's end; merged
+         spans are min(pos)..max(pos)+n. Token positions are ints, so the
+         running "previous end" is max(pos)+n over the preceding frame.
+    Three shuffles total (gh agg, gh join, id window), each O(positions).
+
+    Fingerprints are 64-bit xxhash64 of the window text: a false merge
+    needs a same-corpus collision (~1e-8 at 10^12 windows with distinct
+    text) — the standard trade accepted by hash-based substring dedup at
+    scale; the DuckDB oracle joins on the exact window TEXT instead, so
+    any collision would surface as a hard mismatch at test scale.
+    """
+    pos = _position_grams(docs, n, text_col, id_col)
+    dup = pos.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
+    covered = pos.join(dup, "gh", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + n).over(w)
+    flagged = covered.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    )
+    w2 = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.withColumn("_isl", F.sum("_new").over(w2))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each doc with every duplicated >= n-token span removed:
+    (id, clean_text, n_tokens_kept, n_tokens_removed). Spans are collected
+    to one array per doc (bounded by doc length / n, not corpus size) and
+    the filter runs as higher-order exists() over the zipped (token,
+    index) array — whole-stage codegen, no Python. The docs<->spans join
+    is keyed on the doc id, so it co-partitions with upstream id-keyed
+    stages; only docs that HAVE spans appear on the build side."""
+    spans = duplicate_spans(docs, n, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens_col(text_col)
+    n_toks = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    # both zip sides must be empty for an empty doc — zip_with null-pads
+    # the shorter side, so a bare sequence(0, 0) would resurrect one row
+    empty_s = F.array().cast("array<string>")
+    empty_i = F.array().cast("array<int>")
+    kept = F.filter(
+        F.zip_with(
+            F.when(n_toks == 0, empty_s).otherwise(toks),
+            F.when(n_toks == 0, empty_i).otherwise(
+                F.sequence(F.lit(0), n_toks - 1)
+            ),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            sp, lambda s: (p["i"] >= s["span_start"]) & (p["i"] < s["span_end"])
+        ),
+    )
+    return (
+        docs.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.transform(kept, lambda p: p["t"])).alias("clean_text"),
+            F.size(kept).alias("n_tokens_kept"),
+            (n_toks - F.size(kept)).alias("n_tokens_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components over the emitted pair sets
 # ---------------------------------------------------------------------------
 

@@ -35,6 +35,35 @@ def _tune_worker_allocator() -> None:
     os.environ.setdefault("MALLOC_ARENA_MAX", "2")
 
 
+def _parse_jvm_mem(s: str) -> int:
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _driver_heap_hint() -> int:
+    """Best-effort driver heap size BEFORE the session exists, so static
+    core confs (which cannot change once the context starts) can be sized
+    to the heap they will actually run in. Under spark-submit the JVM is
+    already up as our parent process with --driver-memory applied (default
+    1g) — read its -Xmx from /proc; under plain `python` the builder's
+    spark.driver.memory (SPARK_DRIVER_MEMORY, default 24g) will size the
+    JVM we are about to launch."""
+    if "PYSPARK_GATEWAY_PORT" in os.environ or "PYSPARK_GATEWAY_SECRET" in os.environ:
+        try:
+            with open(f"/proc/{os.getppid()}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+            for a in argv:
+                if a.startswith(b"-Xmx"):
+                    return _parse_jvm_mem(a[4:].decode())
+        except OSError:
+            pass
+        return 1 << 30  # spark-submit's default --driver-memory 1g
+    return _parse_jvm_mem(os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+
+
 def get_spark(
     app_name: str = "webscraping_spark",
     master: str | None = None,
@@ -105,9 +134,19 @@ def get_spark(
         # batch them. Both conditioned on the tmpfs local dir: on a real
         # cluster shuffle crosses disks/network, where compression wins
         # and these defaults would be wrong.
-        builder = builder.config("spark.shuffle.compress", "false").config(
-            "spark.shuffle.file.buffer", "1m"
-        )
+        builder = builder.config("spark.shuffle.compress", "false")
+        # The 1 MB buffer is ALSO conditioned on the heap it must fit in:
+        # the bypass-merge writer holds cores x shuffle.partitions buffers
+        # live at once (local[32] x 64 partitions x 1 MB = 2 GB), which is
+        # instantly fatal under spark-submit's default 1g driver heap —
+        # the JVM there is already up, so the builder's 24g is a no-op.
+        # Keep the big buffer only when the live-buffer worst case stays
+        # under ~1/8 of the real heap (shuffle.file.buffer is a static
+        # core conf: it cannot be corrected after the context starts).
+        heap = _driver_heap_hint()
+        buf_worst_case = cores * max(cores * 2, 8) * (1 << 20)
+        if buf_worst_case <= heap // 8:
+            builder = builder.config("spark.shuffle.file.buffer", "1m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
