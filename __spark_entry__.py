@@ -832,6 +832,28 @@ def q_remove_duplicate_spans(spark, sf_dir):
     return remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_decontam_flags(spark, sf_dir):
+    """Train-vs-eval n-gram decontamination (dedup.decontaminate): split
+    the documents table into eval (doc_id % 7 == 0) and train, flag every
+    train doc sharing a 3-token window with the eval side. The oracle
+    re-derives the whole check in DuckDB joined on the literal gram TEXT
+    (the Spark side joins on xxhash64 of the same text), including the
+    island merge and the per-doc left-join flags — a hash collision or any
+    span divergence breaks the value compare."""
+    from webscraping_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate(train, ev, n=3).select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "n_contaminated_tokens",
+        "n_tokens",
+        "contaminated",
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -913,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "duplicate_token_spans": q_duplicate_token_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "decontam_flags": q_decontam_flags,
     }
 
 
@@ -1393,6 +1416,63 @@ def oracle_sql() -> dict[str, str]:
                               count(*) AS n_kept
                        FROM kept GROUP BY doc_id) k
               ON k.doc_id = d.doc_id
+        """,
+        "decontam_flags": """
+            -- full re-derivation of n-gram decontamination joined on the
+            -- literal 3-token gram TEXT: eval = doc_id % 7 = 0, train = rest
+            WITH train AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+            ), ev AS (
+                SELECT text FROM documents WHERE doc_id % 7 = 0
+            ), ttoks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM train
+            ), etoks AS (
+                SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM ev
+            ), tpos AS (
+                SELECT doc_id, s.i - 1 AS pos,
+                       array_to_string(t[s.i:s.i+2], ' ') AS gram
+                FROM ttoks, unnest(generate_series(1, len(t) - 2)) AS s(i)
+                WHERE len(t) >= 3
+            ), egr AS (
+                SELECT DISTINCT array_to_string(t[s.i:s.i+2], ' ') AS gram
+                FROM etoks, unnest(generate_series(1, len(t) - 2)) AS s(i)
+                WHERE len(t) >= 3
+            ), cov AS (
+                SELECT p.doc_id, p.pos FROM tpos p JOIN egr g USING (gram)
+            ), flg AS (
+                SELECT doc_id, pos,
+                       max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_end
+                FROM cov
+            ), isl AS (
+                SELECT doc_id, pos,
+                       sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM flg
+            ), spans AS (
+                SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+                FROM isl GROUP BY doc_id, g
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_spans, sum(e - s) AS cov
+                FROM spans GROUP BY doc_id
+            )
+            SELECT tr.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   CAST(coalesce(a.cov, 0) AS BIGINT) AS n_contaminated_tokens,
+                   CAST(CASE WHEN trim(tr.text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(tr.text), '\\s+'))
+                        END AS BIGINT) AS n_tokens,
+                   coalesce(a.n_spans, 0) > 0 AS contaminated
+            FROM train tr LEFT JOIN agg a USING (doc_id)
         """,
         "simhash": """
             -- violation set: identical-text pairs with different simhash,

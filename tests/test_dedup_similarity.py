@@ -590,3 +590,74 @@ class TestSubstringSpanDedup:
             # across 8-word-vocab 30-token docs are possible; require most)
             assert r["n_tokens_kept"] >= 1
             assert r["n_tokens_removed"] >= 10
+
+
+class TestDecontamination:
+    """dedup.contaminated_spans / decontaminate / remove_contaminated —
+    train-vs-eval n-gram overlap (the GPT-3 13-gram decontamination check,
+    run at n=3 here so fixtures stay readable)."""
+
+    TRAIN = [
+        (0, "the quick brown fox jumps over the lazy dog"),  # contains eval q
+        (1, "completely unrelated training text here"),
+        (2, "quick brown fox something quick brown fox again"),  # two hits
+        (3, "brown fox"),  # shorter than n: can never be flagged
+        (4, ""),
+    ]
+    EVAL = [
+        (100, "what does the quick brown fox do"),
+        (101, "held out benchmark question"),
+    ]
+
+    def _frames(self, spark):
+        t = spark.createDataFrame(self.TRAIN, "doc_id long, text string")
+        e = spark.createDataFrame(self.EVAL, "doc_id long, text string")
+        return t, e
+
+    def test_spans_cover_exactly_the_shared_windows(self, spark):
+        t, e = self._frames(spark)
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dedup.contaminated_spans(t, e, n=3).collect()
+        )
+        # doc 0: eval grams 'the quick brown', 'quick brown fox' -> [0, 4)
+        # doc 2: 'quick brown fox' at 0 and 4 -> two islands [0,3) [4,7)
+        assert got == [(0, 0, 4), (2, 0, 3), (2, 4, 7)]
+
+    def test_flags_cover_every_train_doc_once(self, spark):
+        t, e = self._frames(spark)
+        out = {r["doc_id"]: r for r in dedup.decontaminate(t, e, n=3).collect()}
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert out[0]["contaminated"] and out[0]["n_contaminated_tokens"] == 4
+        assert out[2]["n_spans"] == 2 and out[2]["n_contaminated_tokens"] == 6
+        for i in (1, 3, 4):
+            assert not out[i]["contaminated"]
+            assert out[i]["n_contaminated_tokens"] == 0
+        assert out[2]["contaminated_frac"] == pytest.approx(6 / 8)
+        assert out[4]["n_tokens"] == 0 and out[4]["contaminated_frac"] == 0.0
+
+    def test_remove_drops_only_contaminated_docs(self, spark):
+        t, e = self._frames(spark)
+        kept = sorted(
+            r["doc_id"] for r in dedup.remove_contaminated(t, e, n=3).collect()
+        )
+        assert kept == [1, 3, 4]
+
+    def test_eval_internal_repeats_do_not_flag(self, spark):
+        # a gram repeated WITHIN eval but absent from train must not flag
+        t = spark.createDataFrame(
+            [(0, "clean training document text")], "doc_id long, text string"
+        )
+        e = spark.createDataFrame(
+            [(100, "spam spam spam spam"), (101, "spam spam spam")],
+            "doc_id long, text string",
+        )
+        assert dedup.contaminated_spans(t, e, n=3).count() == 0
+
+    def test_no_exchange_before_the_gram_join(self, spark):
+        # the train side must reach the semi join as a pure map over the
+        # scan: no Exchange in the train position-gram lineage
+        t, e = self._frames(spark)
+        plan = dedup.contaminated_spans(t, e, n=3)._jdf.queryExecution().executedPlan().toString()
+        semi = plan.find("LeftSemi")
+        assert semi != -1

@@ -16,6 +16,11 @@ Operators:
   minhash_near_dupes  LSH candidates filtered by estimated Jaccard
   simhash             64-bit SimHash over token hashes; near-dup via
                       banded Hamming join
+  duplicate_spans /   exact >= n-token repeat detection/removal (Lee et
+  remove_duplicate_spans  al. 2021) via position-gram fingerprint join
+  contaminated_spans / train-vs-eval n-gram overlap (GPT-3/Gopher 13-gram
+  decontaminate /      decontamination): flag or drop train docs sharing
+  remove_contaminated  any n-token window with a held-out eval corpus
   embedding_near_dupes cosine > threshold pairs via block self-join
   connected_components cluster the near-dup PAIR sets into components
                       (alternating large-star/small-star, O(log n) rounds)
@@ -359,7 +364,17 @@ def duplicate_spans(
     pos = _position_grams(docs, n, text_col, id_col)
     dup = pos.groupBy("gh").count().filter(F.col("count") > 1).select("gh")
     covered = pos.join(dup, "gh", "left_semi")
+    return _merge_positions_to_spans(covered, n).select(
+        F.col("id").alias(id_col), "span_start", "span_end"
+    )
 
+
+def _merge_positions_to_spans(covered: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands merge of covered window positions into maximal
+    spans: (id, pos) rows -> (id, span_start, span_end) where each span is
+    a maximal union of overlapping-or-touching [pos, pos+n) windows. One
+    window over (id, pos) — a new island starts where pos exceeds every
+    previous window's end (running max(pos)+n over the preceding frame)."""
     from pyspark.sql import Window
 
     w = (
@@ -375,14 +390,10 @@ def duplicate_spans(
         Window.unboundedPreceding, 0
     )
     islands = flagged.withColumn("_isl", F.sum("_new").over(w2))
-    return (
-        islands.groupBy("id", "_isl")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + n).alias("span_end"),
-        )
-        .select(F.col("id").alias(id_col), "span_start", "span_end")
-    )
+    return islands.groupBy("id", "_isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n).alias("span_end"),
+    ).select("id", "span_start", "span_end")
 
 
 def remove_duplicate_spans(
@@ -433,6 +444,106 @@ def remove_duplicate_spans(
             (n_toks - F.size(kept)).alias("n_tokens_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination: n-gram overlap against a held-out corpus
+# ---------------------------------------------------------------------------
+
+
+def contaminated_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Maximal train-doc token spans covered by any n-token window that
+    also appears in the eval corpus: (id, span_start, span_end).
+
+    This is the GPT-3 / Gopher decontamination primitive (13-gram overlap
+    between training data and evaluation sets) re-expressed as the same
+    fingerprint join as :func:`duplicate_spans`, with the duplicated-gram
+    set replaced by the eval corpus's distinct gram set. Plan shape for a
+    10^12-token train side:
+
+      1. eval grams: distinct xxhash64 window fingerprints — eval sets are
+         tiny relative to train (benchmarks, not corpora), so after the
+         map-side-combinable distinct this side is usually broadcast by
+         AQE; at worst it is one small exchange;
+      2. train position-grams: pure map over the train scan (no shuffle);
+      3. left-semi join train positions against the eval gram set —
+         O(train positions) probe, never materializing pairs;
+      4. per-doc gaps-and-islands merge (one window over (id, pos)).
+
+    Train docs shorter than n tokens emit no positions and can never be
+    flagged — the standard contract of n-gram decontamination.
+    """
+    tpos = _position_grams(train, n, text_col, id_col)
+    egrams = (
+        _position_grams(eval_docs, n, eval_text_col or text_col, id_col)
+        .select("gh")
+        .distinct()
+    )
+    covered = tpos.join(egrams, "gh", "left_semi")
+    return _merge_positions_to_spans(covered, n).select(
+        F.col("id").alias(id_col), "span_start", "span_end"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Per-train-doc contamination flags against an eval corpus: (id,
+    n_spans, n_contaminated_tokens, n_tokens, contaminated,
+    contaminated_frac). Every train doc appears exactly once (left join of
+    the corpus against the span aggregate, keyed on the doc id so it
+    co-partitions with upstream id-keyed stages); filter on ``contaminated``
+    or threshold ``contaminated_frac`` downstream. Spans are already
+    maximal and disjoint, so covered tokens is a plain sum of lengths."""
+    spans = contaminated_spans(train, eval_docs, n, text_col, id_col, eval_text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("_cov"),
+    )
+    toks = tokens_col(text_col)
+    n_toks = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    return train.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("_cov", F.lit(0)).cast("long").alias("n_contaminated_tokens"),
+        n_toks.cast("long").alias("n_tokens"),
+        (F.coalesce("n_spans", F.lit(0)) > 0).alias("contaminated"),
+        (
+            F.coalesce("_cov", F.lit(0))
+            / F.greatest(n_toks.cast("double"), F.lit(1.0))
+        ).alias("contaminated_frac"),
+    )
+
+
+def remove_contaminated(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Train corpus minus every doc sharing an n-gram with the eval corpus
+    (drop-the-document policy, the conservative variant used for published
+    eval decontamination). Anti-join on the doc id against the distinct
+    contaminated-id set — the span detail is never materialized wider than
+    (id, pos)."""
+    bad = contaminated_spans(
+        train, eval_docs, n, text_col, id_col, eval_text_col
+    ).select(id_col).distinct()
+    return train.join(bad, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
