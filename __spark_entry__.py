@@ -832,6 +832,52 @@ def q_remove_duplicate_spans(spark, sf_dir):
     return remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=3)
 
 
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction (textstats.redact_pii): emails / phones / SSN-shaped
+    ids / IPv4s masked by chained regexp_replace in one codegen projection.
+    The synthetic documents contain no natural PII, so the query PLANTS one
+    of each per doc, derived deterministically from doc_id (md5-prefix
+    email, lpad'ed phone/ssn digits, modular IP octets) with the identical
+    construction in the DuckDB oracle — the patterns are written in the
+    Java-regex/RE2 shared syntax subset so the oracle runs the same pattern
+    strings, and the full redacted text plus all per-category counts must
+    match string-for-string."""
+    from webscraping_spark.operators.textstats import redact_pii
+
+    d = F.col("doc_id")
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 40),
+            F.concat(
+                F.substring(F.md5(d.cast("string")), 1, 8), F.lit("@example.com")
+            ),
+            F.lit("call"),
+            F.concat(
+                F.lit("(555) 123-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+            F.lit("from"),
+            F.concat(
+                F.lit("10.0."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                ((d * 7) % 256).cast("string"),
+            ),
+            F.lit("ssn"),
+            F.concat(
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
 def q_decontam_flags(spark, sf_dir):
     """Train-vs-eval n-gram decontamination (dedup.decontaminate): split
     the documents table into eval (doc_id % 7 == 0) and train, flag every
@@ -936,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_token_spans": q_duplicate_token_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "decontam_flags": q_decontam_flags,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1416,6 +1463,61 @@ def oracle_sql() -> dict[str, str]:
                               count(*) AS n_kept
                        FROM kept GROUP BY doc_id) k
               ON k.doc_id = d.doc_id
+        """,
+        "pii_redaction": """
+            -- identical planted-PII construction + the SAME pattern strings
+            -- (Java-regex/RE2 shared subset); counts on the original text,
+            -- replacements chained in PII_PATTERNS order with the 'g' flag
+            WITH planted AS (
+                SELECT doc_id,
+                       concat_ws(' ',
+                           substr(text, 1, 40),
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                               || '@example.com',
+                           'call',
+                           '(555) 123-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                           'from',
+                           '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                               || CAST((doc_id * 7) % 256 AS VARCHAR),
+                           'ssn',
+                           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+\\-]{1,64}@[A-Za-z0-9\\-]+(\\.[A-Za-z0-9\\-]+)*\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '(\\+\\d{1,2}\\s)?\\(?\\d{3}\\)?[\\s.\\-]\\d{3}[\\s.\\-]\\d{4}',
+                       '<PHONE>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                       AS redacted_text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\\-]{1,64}@[A-Za-z0-9\\-]+(\\.[A-Za-z0-9\\-]+)*\\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                       '(\\+\\d{1,2}\\s)?\\(?\\d{3}\\)?[\\s.\\-]\\d{3}[\\s.\\-]\\d{4}'
+                       )) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\\-]{1,64}@[A-Za-z0-9\\-]+(\\.[A-Za-z0-9\\-]+)*\\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text,
+                       '(\\+\\d{1,2}\\s)?\\(?\\d{3}\\)?[\\s.\\-]\\d{3}[\\s.\\-]\\d{4}'))
+                     + len(regexp_extract_all(text,
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+                     + len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_pii
+            FROM planted
         """,
         "decontam_flags": """
             -- full re-derivation of n-gram decontamination joined on the

@@ -661,3 +661,44 @@ class TestDecontamination:
         plan = dedup.contaminated_spans(t, e, n=3)._jdf.queryExecution().executedPlan().toString()
         semi = plan.find("LeftSemi")
         assert semi != -1
+
+
+class TestPiiRedaction:
+    """textstats.redact_pii — chained regexp_replace masking of emails /
+    phones / SSN-shaped ids / IPv4s in one codegen projection."""
+
+    def test_each_category_masked_and_counted(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "mail bob.smith+x@mail.co.uk now"),
+                (1, "call (555) 123-4567 or +1 555.123.4567 today"),
+                (2, "ssn 123-45-6789 here"),
+                (3, "host 192.168.1.254 up"),
+                (4, "nothing sensitive at all"),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textstats.redact_pii(docs).collect()}
+        assert out[0]["redacted_text"] == "mail <EMAIL> now"
+        assert out[0]["n_email"] == 1 and out[0]["n_pii"] == 1
+        assert out[1]["redacted_text"] == "call <PHONE> or <PHONE> today"
+        assert out[1]["n_phone"] == 2
+        assert out[2]["redacted_text"] == "ssn <SSN> here"
+        assert out[3]["redacted_text"] == "host <IP> up"
+        assert out[4]["n_pii"] == 0 and out[4]["redacted_text"] == "nothing sensitive at all"
+        assert out[5]["redacted_text"] == "" and out[5]["n_pii"] == 0
+
+    def test_ssn_not_eaten_by_phone_and_vice_versa(self, spark):
+        # phone needs 3-3-4 digit groups, ssn 3-2-4: no cross-matching
+        docs = spark.createDataFrame(
+            [(0, "a 123-45-6789 b 555-123-4567 c")], "doc_id long, text string"
+        )
+        r = textstats.redact_pii(docs).collect()[0]
+        assert r["redacted_text"] == "a <SSN> b <PHONE> c"
+        assert r["n_ssn"] == 1 and r["n_phone"] == 1
+
+    def test_single_projection_no_shuffle(self, spark):
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = textstats.redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan

@@ -168,3 +168,57 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "fingerprint": out})
 
     return docs.select(id_col, text_col).mapInPandas(roll, f"{id_col} long, fingerprint long")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the pipeline-side counterpart of the reference's email /
+# phone EXTRACTION, alg.py:7-82: a training corpus wants them removed, a
+# scraper wants them collected — same patterns, inverse operator)
+# ---------------------------------------------------------------------------
+
+# Patterns are written in the syntax subset shared by Java regex (Spark)
+# and RE2 (DuckDB) — character classes, bounded repetition, optional
+# groups, \b — so the DuckDB oracle can run the IDENTICAL pattern strings.
+# Replacement order is part of the contract (each pattern runs over the
+# previous pattern's output); counts are taken per-pattern on the ORIGINAL
+# text. The email/phone shapes mirror the reference's extraction regexes
+# (alg.py:29, alg.py:75) modulo the obfuscated-email variant, which is an
+# extraction-only concern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]{1,64}@[A-Za-z0-9\-]+(\.[A-Za-z0-9\-]+)*\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(\+\d{1,2}\s)?\(?\d{3}\)?[\s.\-]\d{3}[\s.\-]\d{4}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails / phone numbers / SSN-shaped ids / IPv4 addresses:
+    (id, redacted_text, n_email, n_phone, n_ssn, n_ip, n_pii).
+
+    Pure chained ``regexp_replace`` + ``regexp_extract_all`` column
+    expressions — the whole operator is one codegen projection over the
+    scan, no shuffle, no Python, so it fuses into whatever quality /
+    repetition / langid stage already reads the text at 100 TB. Counts are
+    per-pattern over the original text; the rewrite applies the patterns
+    in PII_PATTERNS order over the running result.
+    """
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat, _ in PII_PATTERNS
+    }
+    redacted = text
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    n_pii = None
+    for name in counts:
+        n_pii = counts[name] if n_pii is None else n_pii + counts[name]
+    return docs.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        *[counts[name].cast("long").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        n_pii.cast("long").alias("n_pii"),
+    )
