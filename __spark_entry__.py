@@ -663,6 +663,67 @@ def q_image_dct_near_dup(spark, sf_dir):
     return missing.unionByName(extra)
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """Full image-dedup pipeline end-to-end: decode -> DCT perceptual hash
+    -> banded Hamming join -> connected components -> keep one
+    representative per cluster. Same deterministic fixture as
+    image_dct_near_dup (24 structured images, first 6 each with a planted
+    half-resize and a brightness+12 variant), so the TRUE cluster structure
+    is known in closed form: six 3-member clusters rooted at the original
+    (min string id) and 18 singletons. The oracle constructs that expected
+    (image_id, component, kept) table directly from the documents ids — a
+    single extra or missing phash pair, a component mislabel, or a wrong
+    representative breaks the value compare."""
+    import numpy as np
+
+    from webscraping_spark.operators.dedup import (
+        connected_components,
+        keep_representatives,
+    )
+    from webscraping_spark.operators.multimodal import image_near_dupes
+    from webscraping_spark.sources import images
+
+    n_docs, n_dups = 24, 6
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for d in doc_ids:
+        px = images.synth_smooth_pixels(f"s{d}", w=64, h=48)
+        rows.append((f"s{d}", bytearray(images.encode_image(px, "png")), "png"))
+        if d < n_dups:
+            yi = (np.arange(24) * 48) // 24
+            xi = (np.arange(32) * 64) // 32
+            half = px[yi][:, xi]
+            bright = np.clip(px.astype(np.int32) + 12, 0, 255).astype(np.uint8)
+            rows.append(
+                (f"s{d}_half", bytearray(images.encode_image(half, "png")), "png")
+            )
+            rows.append(
+                (f"s{d}_bright", bytearray(images.encode_image(bright, "png")), "png")
+            )
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    pairs = image_near_dupes(pages, max_hamming=10, method="dct").select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(pairs)
+    kept = keep_representatives(
+        pages.select("image_id"), comp, id_col="image_id"
+    ).select("image_id", F.lit(True).alias("kept"))
+    labeled = pages.select("image_id").join(
+        comp.withColumnRenamed("id", "image_id"), "image_id", "left"
+    )
+    return labeled.join(kept, "image_id", "left").select(
+        "image_id",
+        F.coalesce("component", F.col("image_id")).alias("component"),
+        F.coalesce("kept", F.lit(False)).alias("kept"),
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher/C4-style repetition quality filters (textstats.repetition_
     signals): dup-line fraction, dup-token fraction, top-bigram fraction —
@@ -974,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": q_image_verify,
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_dct_near_dup": q_image_dct_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1218,6 +1280,22 @@ def oracle_sql() -> dict[str, str]:
             -- empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
+        """,
+        "image_dedup_clusters": """
+            -- the fixture's true cluster structure in closed form: the
+            -- first 6 ids root a 3-member cluster (original kept, _half /
+            -- _bright variants dropped), the rest are kept singletons
+            WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24)
+            SELECT 's' || CAST(doc_id AS VARCHAR) AS image_id,
+                   's' || CAST(doc_id AS VARCHAR) AS component,
+                   TRUE AS kept
+            FROM ids
+            UNION ALL
+            SELECT 's' || CAST(doc_id AS VARCHAR) || v.sfx AS image_id,
+                   's' || CAST(doc_id AS VARCHAR) AS component,
+                   FALSE AS kept
+            FROM ids, (VALUES ('_half'), ('_bright')) AS v(sfx)
+            WHERE doc_id < 6
         """,
         "image_dct_near_dup": """
             -- contract: decode -> DCT perceptual hash -> 8-band Hamming
