@@ -724,6 +724,49 @@ def q_image_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: hyperplane-LSH cosine
+    pairs (dedup.embedding_near_dupes, the bucketed default — no crossJoin)
+    -> connected components -> keep one representative. The synthetic
+    embeddings are near-orthogonal (zero natural pairs >= 0.5 cosine), so
+    the query plants a HALF-SCALED copy of each vec_id < 30 at id+100000:
+    scaling preserves direction, so the planted pair has cosine exactly 1
+    and identical LSH buckets in every table (hyperplane signs are scale-
+    invariant — recall 1 by construction, not by luck). The oracle is NOT
+    closed-form: DuckDB re-plants the same copies, computes exact all-pairs
+    cosine, thresholds at 0.95 and takes the recursive transitive closure —
+    so the LSH candidate generation, the exact rescoring AND the star-
+    contraction components are all checked against an independent exact
+    computation."""
+    from webscraping_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dupes,
+        keep_representatives,
+    )
+
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    )
+    planted = base.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    emb = base.unionByName(planted)
+    pairs = embedding_near_dupes(emb, threshold=0.95)
+    comp = connected_components(pairs)
+    kept = keep_representatives(
+        emb.select("vec_id"), comp, id_col="vec_id"
+    ).select("vec_id", F.lit(True).alias("kept"))
+    labeled = emb.select("vec_id").join(
+        comp.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    )
+    return labeled.join(kept, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).alias("component"),
+        F.coalesce("kept", F.lit(False)).alias("kept"),
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher/C4-style repetition quality filters (textstats.repetition_
     signals): dup-line fraction, dup-token fraction, top-bigram fraction —
@@ -1036,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_near_dup": q_image_phash_near_dup,
         "image_dct_near_dup": q_image_dct_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1280,6 +1324,39 @@ def oracle_sql() -> dict[str, str]:
             -- empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
+        """,
+        "semantic_dedup": """
+            -- independent exact re-derivation: re-plant the half-scaled
+            -- copies, compute exact all-pairs cosine, threshold at 0.95,
+            -- transitively close with a recursive CTE, label by min
+            -- reachable id; kept = the vector is its own component root
+            WITH RECURSIVE emb AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 300
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding::DOUBLE[], x -> x * 0.5)
+                FROM embeddings WHERE vec_id < 30
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ), reach(id, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+            ), comp AS (
+                SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            )
+            SELECT e.vec_id,
+                   coalesce(c.component, e.vec_id) AS component,
+                   (coalesce(c.component, e.vec_id) = e.vec_id) AS kept
+            FROM emb e
+            LEFT JOIN comp c ON c.id = e.vec_id
         """,
         "image_dedup_clusters": """
             -- the fixture's true cluster structure in closed form: the
