@@ -767,6 +767,18 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (sampling.chunk_documents): each doc split
+    into 16-token windows at stride 12 (HF return_overflowing_tokens
+    convention — the last start is the smallest stride multiple whose
+    window reaches the final token). One codegen projection + posexplode,
+    zero shuffle. The oracle re-derives every chunk's exact text and token
+    count with DuckDB list slicing."""
+    from webscraping_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=12)
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher/C4-style repetition quality filters (textstats.repetition_
     signals): dup-line fraction, dup-token fraction, top-bigram fraction —
@@ -1080,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dct_near_dup": q_image_dct_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "chunk_documents": q_chunk_documents,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1324,6 +1337,29 @@ def oracle_sql() -> dict[str, str]:
             -- empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
+        """,
+        "chunk_documents": """
+            -- exact re-derivation of the chunk grid: starts 0, 12, 24, ...
+            -- up to the smallest multiple of 12 whose 16-token window
+            -- reaches the last token; chunk text by 1-based list slicing
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), st AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) <= 16 THEN 0
+                            ELSE CAST(ceil((len(t) - 16)::DOUBLE / 12) * 12 AS INT)
+                       END AS last_start
+                FROM toks WHERE len(t) > 0
+            )
+            SELECT doc_id,
+                   CAST(v.s / 12 AS INT) AS chunk_id,
+                   array_to_string(t[v.s + 1 : v.s + 16], ' ') AS chunk_text,
+                   CAST(least(len(t) - v.s, 16) AS INT) AS n_tokens
+            FROM st, unnest(generate_series(0, last_start, 12)) AS v(s)
         """,
         "semantic_dedup": """
             -- independent exact re-derivation: re-plant the half-scaled

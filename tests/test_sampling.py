@@ -93,3 +93,62 @@ class TestFractionSample:
     def test_zero_shuffle_plan(self, spark, ids):
         plan = sampling.fraction_sample(ids, "id", 0.5)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestChunkDocuments:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, " ".join(f"t{i}" for i in range(10))),
+                (1, "a b c"),
+                (2, ""),
+                (3, " ".join(f"x{i}" for i in range(8))),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_window_grid_and_tail(self, spark):
+        out = sorted(
+            (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+            for r in sampling.chunk_documents(
+                self._docs(spark), window=4, stride=3
+            ).collect()
+        )
+        assert out == [
+            (0, 0, "t0 t1 t2 t3", 4),
+            (0, 1, "t3 t4 t5 t6", 4),
+            (0, 2, "t6 t7 t8 t9", 4),
+            (1, 0, "a b c", 3),  # shorter than window: one chunk
+            (3, 0, "x0 x1 x2 x3", 4),
+            (3, 1, "x3 x4 x5 x6", 4),
+            (3, 2, "x6 x7", 2),  # stride-aligned partial tail
+        ]  # empty doc 2 yields nothing
+
+    def test_every_token_covered(self, spark):
+        docs = self._docs(spark)
+        chunks = sampling.chunk_documents(docs, window=5, stride=4)
+        per_doc = (
+            chunks.groupBy("doc_id")
+            .agg(F.sum("n_tokens").alias("covered"), F.max("n_tokens").alias("mx"))
+            .collect()
+        )
+        # sum of chunk sizes >= token count (overlap), max <= window
+        ntok = {0: 10, 1: 3, 3: 8}
+        for r in per_doc:
+            assert r["covered"] >= ntok[r["doc_id"]]
+            assert r["mx"] <= 5
+
+    def test_rejects_bad_params(self, spark):
+        with pytest.raises(ValueError):
+            sampling.chunk_documents(self._docs(spark), window=0)
+        with pytest.raises(ValueError):
+            sampling.chunk_documents(self._docs(spark), stride=0)
+
+    def test_zero_shuffle_plan(self, spark):
+        plan = (
+            sampling.chunk_documents(self._docs(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "ArrowEval" not in plan

@@ -106,3 +106,52 @@ def fraction_sample(
     return df.filter(
         _hash_bucket(F.col(id_col), salt) < int(round(fraction * _BUCKETS))
     )
+
+
+def chunk_documents(
+    docs,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split each doc into fixed-size token windows for context-length-
+    bounded training/RAG: (id, chunk_id, chunk_text, n_tokens).
+
+    Chunk starts are 0, stride, 2*stride, ..., ending at the smallest
+    stride multiple whose window reaches the last token (the HuggingFace
+    return_overflowing_tokens convention): docs with <= ``window`` tokens
+    yield exactly one chunk, empty docs yield none, and no chunk is ever
+    fully contained in its predecessor. Pure higher-order column
+    expressions (sequence -> transform -> slice -> array_join) + one
+    posexplode — zero shuffle, zero Python; chunking fuses into the scan
+    and inherits the doc-level partitioning, so at 100 TB it costs exactly
+    one pass over the text.
+    """
+    from pyspark.sql import functions as F
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    last_start = F.when(n <= window, F.lit(0)).otherwise(
+        (F.ceil((n - window).cast("double") / stride) * stride).cast("int")
+    )
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), last_start, F.lit(stride))
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, window), " ").alias("chunk_text"),
+            F.least(n - s, F.lit(window)).alias("n_tokens"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )
