@@ -779,6 +779,19 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=12)
 
 
+def q_pack_examples(spark, sf_dir):
+    """GPT-style sequence packing (sampling.pack_examples): all non-empty
+    docs concatenated in doc_id order with EOS terminators and cut into
+    exact 32-token examples. The Spark side computes the global token
+    offsets with the two-level skinny prefix sum (no single-task window,
+    text never rides the Arrow hop); the oracle re-derives the entire
+    stream with a DuckDB window cumsum + list slicing, so a wrong offset,
+    fragment boundary, or out-of-order concat breaks the value compare."""
+    from webscraping_spark.operators.sampling import pack_examples
+
+    return pack_examples(_t(spark, sf_dir, "documents"), seq_len=32)
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher/C4-style repetition quality filters (textstats.repetition_
     signals): dup-line fraction, dup-token fraction, top-bigram fraction —
@@ -1093,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_clusters": q_image_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "chunk_documents": q_chunk_documents,
+        "pack_examples": q_pack_examples,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1337,6 +1351,44 @@ def oracle_sql() -> dict[str, str]:
             -- empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
+        """,
+        "pack_examples": """
+            -- full re-derivation of the packed stream: EOS-terminated docs
+            -- concatenated in doc_id order (window cumsum = the global
+            -- token offset), per-doc fragments by list slicing, examples
+            -- rebuilt with an ordered string_agg
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents
+            ), d2 AS (
+                SELECT doc_id, list_append(t, '<|eos|>') AS t,
+                       len(t) + 1 AS n
+                FROM toks WHERE len(t) > 0
+            ), off AS (
+                SELECT doc_id, t, n,
+                       CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS s
+                FROM d2
+            ), frag AS (
+                SELECT v.b AS example_id,
+                       s + greatest(v.b * 32 - s, 0) AS pos,
+                       array_to_string(
+                           t[CAST(greatest(v.b * 32 - s, 0) + 1 AS BIGINT)
+                             : CAST(least((v.b + 1) * 32 - s, n) AS BIGINT)],
+                           ' ') AS frag,
+                       least((v.b + 1) * 32 - s, n)
+                           - greatest(v.b * 32 - s, 0) AS nf
+                FROM off, unnest(generate_series(s // 32, (s + n - 1) // 32))
+                     AS v(b)
+            )
+            SELECT example_id,
+                   string_agg(frag, ' ' ORDER BY pos) AS text,
+                   CAST(sum(nf) AS BIGINT) AS n_tokens
+            FROM frag GROUP BY example_id
         """,
         "chunk_documents": """
             -- exact re-derivation of the chunk grid: starts 0, 12, 24, ...

@@ -152,3 +152,68 @@ class TestChunkDocuments:
             .toString()
         )
         assert "Exchange" not in plan and "ArrowEval" not in plan
+
+
+class TestPackExamples:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(0, "a b c"), (1, ""), (2, "d e f g h"), (3, "i"), (4, "j k")],
+            "doc_id long, text string",
+        )
+
+    def test_stream_cut_exactly(self, spark):
+        # stream: a b c E | d e f g h E | i E | j k E  -> 15 tokens, L=5
+        out = sorted(
+            (r["example_id"], r["text"], r["n_tokens"])
+            for r in sampling.pack_examples(
+                self._docs(spark), seq_len=5, eos="<E>"
+            ).collect()
+        )
+        assert out == [
+            (0, "a b c <E> d", 5),
+            (1, "e f g h <E>", 5),
+            (2, "i <E> j k <E>", 5),
+        ]
+
+    def test_partition_count_invariance(self, spark):
+        # the packed output is a pure function of (corpus, seq_len): the
+        # two-level prefix sum must not leak the partitioning
+        docs = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("id") % 7) + 1),
+                    lambda i: F.concat(F.lit("w"), F.col("id"), F.lit("_"), i),
+                ),
+            ).alias("text"),
+        )
+        a = sorted(
+            map(
+                tuple,
+                sampling.pack_examples(docs, seq_len=16, num_partitions=2).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                sampling.pack_examples(docs, seq_len=16, num_partitions=13).collect(),
+            )
+        )
+        assert a == b
+        # every example except the last is exactly seq_len
+        sizes = [r[2] for r in a]
+        assert all(s == 16 for s in sizes[:-1]) and 0 < sizes[-1] <= 16
+
+    def test_remainder_and_empty_docs(self, spark):
+        out = sampling.pack_examples(self._docs(spark), seq_len=4, eos="<E>").collect()
+        total = sum(r["n_tokens"] for r in out)
+        assert total == 15  # empty doc contributes nothing, EOS after each
+        joined = " ".join(
+            r["text"] for r in sorted(out, key=lambda r: r["example_id"])
+        )
+        assert joined == "a b c <E> d e f g h <E> i <E> j k <E>"
+
+    def test_rejects_bad_seq_len(self, spark):
+        with pytest.raises(ValueError):
+            sampling.pack_examples(self._docs(spark), seq_len=0)

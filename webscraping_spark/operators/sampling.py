@@ -155,3 +155,128 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+def pack_examples(
+    docs,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos: str = "<|eos|>",
+    num_partitions: int | None = None,
+):
+    """GPT-style sequence packing: concatenate every non-empty doc (in
+    ``id_col`` order, EOS-terminated) into one virtual token stream and cut
+    it into fixed ``seq_len`` examples: (example_id, text, n_tokens) —
+    every example exactly seq_len tokens except the final remainder.
+
+    100-TB plan shape (the naive version is a single-task window):
+      1. SKINNY offset pass: (id, n_tokens) rows — 16 bytes/doc — get a
+         global exclusive prefix sum via the same two-level scheme as
+         ordering.assign_global_seq (range-partition on id, per-partition
+         totals collected and broadcast, numpy cumsum stamps inside each
+         partition). The corpus TEXT never rides this Arrow hop.
+      2. Offsets join back to the docs on the id (co-partitions with
+         id-keyed upstream stages); each doc emits its per-example
+         FRAGMENTS with JVM higher-order expressions — a doc spanning
+         examples b_lo..b_hi yields slice rows, no per-token explode.
+      3. One groupBy(example_id): fragments are array_sort'ed by their
+         stream position and joined — each byte of corpus text crosses
+         exactly one exchange.
+    Deterministic by contract (id order), so re-runs and engines agree.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = docs.sparkSession
+    L = seq_len
+
+    raw = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_raw = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(raw))
+    sized = docs.select(F.col(id_col), (n_raw + 1).alias("_n")).filter(
+        F.col("_n") > 1
+    )
+
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    arranged = (
+        sized.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    arranged = arranged.localCheckpoint(eager=False)
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in arranged.groupBy("_pid").agg(F.sum("_n").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out_schema = f"{id_col} long, _n int, token_start long"
+
+    def stamp(batches):
+        consumed = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            n = pdf["_n"].to_numpy(dtype=np.int64)
+            starts = b_offsets.value[pid] + consumed + np.concatenate(
+                ([0], np.cumsum(n)[:-1])
+            )
+            consumed += int(n.sum())
+            yield pdf.drop(columns=["_pid"]).assign(token_start=starts)
+
+    stamped = arranged.mapInPandas(stamp, out_schema)
+
+    with_toks = docs.join(stamped, id_col).select(
+        F.concat(raw, F.array(F.lit(eos))).alias("_t"),
+        F.col("_n").cast("long").alias("_n"),
+        "token_start",
+    )
+    s, n = F.col("token_start"), F.col("_n")
+    bins = F.sequence(F.floor(s / L), F.floor((s + n - 1) / L))
+    frag = F.transform(
+        bins,
+        lambda b: F.struct(
+            b.alias("example_id"),
+            (s + F.greatest(b * L - s, F.lit(0))).alias("pos"),
+            F.array_join(
+                F.slice(
+                    F.col("_t"),
+                    (F.greatest(b * L - s, F.lit(0)) + 1).cast("int"),
+                    (
+                        F.least((b + 1) * L - s, n)
+                        - F.greatest(b * L - s, F.lit(0))
+                    ).cast("int"),
+                ),
+                " ",
+            ).alias("frag"),
+            (
+                F.least((b + 1) * L - s, n) - F.greatest(b * L - s, F.lit(0))
+            ).alias("nf"),
+        ),
+    )
+    frags = with_toks.select(F.explode(frag).alias("f")).select(
+        F.col("f.example_id").alias("example_id"),
+        F.col("f.pos").alias("pos"),
+        F.col("f.frag").alias("frag"),
+        F.col("f.nf").alias("nf"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "frag", "nf")))
+    return (
+        frags.groupBy("example_id")
+        .agg(ordered.alias("_o"))
+        .select(
+            "example_id",
+            F.array_join(
+                F.transform(F.col("_o"), lambda x: x["frag"]), " "
+            ).alias("text"),
+            F.aggregate(
+                F.col("_o"), F.lit(0).cast("long"), lambda a, x: a + x["nf"]
+            ).alias("n_tokens"),
+        )
+    )
