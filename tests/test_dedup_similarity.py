@@ -560,6 +560,18 @@ class TestSubstringSpanDedup:
         )
         assert dedup.duplicate_spans(docs, n=3).count() == 0
 
+    def test_three_exchange_plan(self, spark):
+        # the documented 100-TB shape: gh aggregate, gh semi join, id
+        # window — exactly three shuffles, zero Python, no all-pairs
+        plan = (
+            dedup.duplicate_spans(self._docs(spark), n=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 3
+        assert "ArrowEval" not in plan and "CartesianProduct" not in plan
+
     def test_remove_rebuilds_clean_text(self, spark):
         out = {
             r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_removed"])

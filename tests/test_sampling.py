@@ -217,3 +217,15 @@ class TestPackExamples:
     def test_rejects_bad_seq_len(self, spark):
         with pytest.raises(ValueError):
             sampling.pack_examples(self._docs(spark), seq_len=0)
+
+    def test_skinny_prefix_sum_plan(self, spark):
+        # the text must never ride the Arrow hop: exactly one MapInPandas
+        # (the 16-byte offset stamp), no per-row Python, no cartesian
+        plan = (
+            sampling.pack_examples(self._docs(spark), seq_len=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("MapInPandas") == 1
+        assert "ArrowEval" not in plan and "CartesianProduct" not in plan

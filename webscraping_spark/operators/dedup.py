@@ -311,21 +311,37 @@ def _position_grams(docs: DataFrame, n: int, text_col: str, id_col: str) -> Data
     """(id, pos, gh): xxhash64 fingerprint of the n-token window starting at
     each token position. One row per token — O(corpus tokens), the same
     asymptotics as the suffix-array construction it replaces — produced by
-    a single codegen projection + posexplode (no Python, no shuffle)."""
+    two codegen projections + posexplode (no Python, no shuffle).
+
+    Two-level hashing, and the staging is load-bearing: each token is
+    hashed to a long ONCE in a materialized array column, then each window
+    hashes its n-long slice. The obvious one-step form —
+    ``xxhash64(concat_ws(" ", slice(toks, i+1, n)))`` per position —
+    rebuilds and re-hashes an n-token STRING at every position (measured
+    10x slower at 40M tokens: 72s -> 7s on 16 cores); and referencing a
+    token-hash expression from inside the per-position lambda is no better,
+    because Catalyst re-evaluates the whole array per position (O(tokens^2))
+    instead of sharing it — hence the explicit intermediate select. A gh
+    collision now needs a token-level or window-level xxhash64 collision;
+    the DuckDB oracles join on the literal window text, so any divergence
+    surfaces as a hard mismatch at test scale."""
     toks = tokens_col(text_col)
     n_toks = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(F.size(toks))
+    staged = docs.select(
+        F.col(id_col).alias("id"),
+        F.when(n_toks >= n, F.transform(toks, lambda t: F.xxhash64(t)))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_th"),
+    )
+    m = F.size(F.col("_th"))
     grams = F.when(
-        n_toks >= n,
+        m >= n,
         F.transform(
-            F.sequence(F.lit(0), n_toks - n),
-            # n-gram text cannot collide across different token sequences:
-            # tokens are \s+-split so they never contain the joiner space
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            F.sequence(F.lit(0), m - n),
+            lambda i: F.xxhash64(F.slice(F.col("_th"), i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(F.col(id_col).alias("id"), grams.alias("_g")).select(
-        "id", F.posexplode("_g").alias("pos", "gh")
-    )
+    return staged.select("id", F.posexplode(grams).alias("pos", "gh"))
 
 
 def duplicate_spans(
