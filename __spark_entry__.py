@@ -779,6 +779,34 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=12)
 
 
+def q_minhash_sig_parity(spark, sf_dir):
+    """Violation set for the streaming/batch MinHash contract: docs whose
+    row-local signature (dedup.minhash_signature_col — what the streaming
+    admission path computes inline per arriving row) differs from the batch
+    explode+aggregate signature (dedup.minhash_signatures). The two must be
+    equal element-for-element by construction (same shingle hash, same
+    seeded remix, min taken row-locally vs across exploded rows) — the
+    oracle encodes 'empty' literally."""
+    from webscraping_spark.operators.dedup import (
+        minhash_signature_col,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = minhash_signatures(docs, n_hashes=32).withColumnRenamed(
+        "sig", "_sig_batch"
+    )
+    row_local = docs.select(
+        F.col("doc_id").alias("id"),
+        minhash_signature_col("text", n_hashes=32).alias("_sig_row"),
+    )
+    return (
+        batch.join(row_local, "id")
+        .filter(F.col("_sig_batch") != F.col("_sig_row"))
+        .select(F.col("id").alias("doc_id"))
+    )
+
+
 def q_pack_examples(spark, sf_dir):
     """GPT-style sequence packing (sampling.pack_examples): all non-empty
     docs concatenated in doc_id order with EOS terminators and cut into
@@ -1107,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "chunk_documents": q_chunk_documents,
         "pack_examples": q_pack_examples,
+        "minhash_sig_parity": q_minhash_sig_parity,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1351,6 +1380,11 @@ def oracle_sql() -> dict[str, str]:
             -- empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
+        """,
+        "minhash_sig_parity": """
+            -- violation set: docs where the streaming row-local MinHash
+            -- signature differs from the batch aggregate — must be empty
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
         """,
         "pack_examples": """
             -- full re-derivation of the packed stream: EOS-terminated docs

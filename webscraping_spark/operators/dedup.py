@@ -141,6 +141,35 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_col(
+    text_col: str = "text", n_hashes: int = 64, k: int = 3, seed: int = 42
+):
+    """Row-local MinHash signature expression — the SAME signature
+    :func:`minhash_signatures` computes by explode+aggregate, as one
+    higher-order column (min over the doc's own shingles per remix).
+
+    The aggregate form is right for batch (map-side combine shuffles
+    n_hashes longs per doc); this form exists for STREAMING, where a
+    pre-dedup groupBy would add a stateful stage — here the signature is
+    computed inline on each arriving row. Parity is by construction: same
+    base shingle hash (xxhash64 of the k-token window text), same seeded
+    remix (xxhash64(shingle_hash, seed, j)), min-reduced row-locally
+    instead of across exploded rows; test_dedup_similarity asserts
+    element-for-element equality against the batch aggregate."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.transform(starts, lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed), j))
+        ),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16) -> DataFrame:
     """Band each signature, hash the band, join within buckets -> candidate
     (id_a, id_b) pairs. The banded shuffle replaces the all-pairs join."""
