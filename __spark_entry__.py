@@ -779,6 +779,22 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_t(spark, sf_dir, "documents"), window=16, stride=12)
 
 
+def q_gopher_filter(spark, sf_dir):
+    """The composite Gopher document-quality gate (textstats.gopher_filter,
+    Rae et al. 2021 A1.1): token-count bounds, mean word length, symbol
+    ratio, bullet/ellipsis line fractions, alpha-word fraction, stop-word
+    hits, and the AND'ed keep flag — one codegen projection. The oracle
+    re-derives every signal and the keep decision with DuckDB list
+    comprehensions at min_tokens=10, min_stop_hits=1 (the synthetic docs
+    are short and light on stop words; 382/500 keep at sf0.01, so both
+    branches of the gate are exercised)."""
+    from webscraping_spark.operators.textstats import gopher_filter
+
+    return gopher_filter(
+        _t(spark, sf_dir, "documents"), min_tokens=10, min_stop_hits=1
+    )
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1136,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_examples": q_pack_examples,
         "minhash_sig_parity": q_minhash_sig_parity,
+        "gopher_filter": q_gopher_filter,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1380,6 +1397,64 @@ def oracle_sql() -> dict[str, str]:
             -- empty
             SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b
             WHERE 1 = 0
+        """,
+        "gopher_filter": """
+            -- full re-derivation of every Gopher rule signal + the keep
+            -- decision (min_tokens=10, min_stop_hits=1 to suit the short synthetic docs)
+            WITH base AS (
+                SELECT doc_id, text, trim(text) AS t,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM documents
+            ), sig AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round(list_sum(list_transform(toks, x -> len(x)))
+                             / greatest(len(toks), 1), 6) AS mean_word_len,
+                       round(((len(t) - len(replace(t, '#', '')))
+                              + (len(t) - len(replace(t, '...', ''))) / 3)
+                             / greatest(len(toks), 1), 6) AS symbol_ratio,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       round(len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 6) AS alpha_word_frac,
+                       len(list_filter(['the','be','to','of','and','that',
+                                        'have','with'],
+                           w -> list_contains(list_transform(toks,
+                                x -> lower(x)), w))) AS n_stop_hits
+                FROM base
+            ), lf AS (
+                SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+                       round(len(list_filter(lines,
+                                 x -> starts_with(x, '•')
+                                   OR starts_with(x, '-')
+                                   OR starts_with(x, '*')))
+                             / greatest(len(lines), 1), 6)
+                           AS bullet_line_frac,
+                       round(len(list_filter(lines,
+                                 x -> ends_with(x, '...')
+                                   OR ends_with(x, '…')))
+                             / greatest(len(lines), 1), 6)
+                           AS ellipsis_line_frac,
+                       alpha_word_frac, n_stop_hits
+                FROM sig
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   mean_word_len, symbol_ratio, bullet_line_frac,
+                   ellipsis_line_frac, alpha_word_frac,
+                   CAST(n_stop_hits AS INT) AS n_stop_hits,
+                   (n_tokens >= 10 AND n_tokens <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_hits >= 1) AS keep
+            FROM lf
         """,
         "minhash_sig_parity": """
             -- violation set: docs where the streaming row-local MinHash

@@ -714,3 +714,45 @@ class TestPiiRedaction:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         plan = textstats.redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
+
+
+class TestGopherFilter:
+    """textstats.gopher_filter — the composite Gopher quality gate."""
+
+    def test_each_rule_trips_independently(self, spark):
+        good_body = "the quick brown fox jumps over and over with the dog " * 5
+        docs = spark.createDataFrame(
+            [
+                (0, good_body),                                   # passes all
+                (1, "short doc with the and of"),                 # too few tokens
+                (2, "a b c d e f g h i j " * 10),                 # mean word len < 3
+                (3, ("### " * 30) + good_body),                   # symbol ratio
+                (4, "\n".join(["- bullet line the of"] * 10)),    # bullets > 90%
+                (5, "\n".join(["the line ends here..."] * 10)),   # ellipsis > 30%
+                (6, ("123 456 789 " * 20) + "the of"),            # alpha frac < 0.8
+                (7, "zzz qqq www rrr ttt yyy uuu iii " * 10),     # no stop words
+                (8, ""),                                          # empty
+            ],
+            "doc_id long, text string",
+        )
+        from webscraping_spark.operators.textstats import gopher_filter
+
+        out = {r["doc_id"]: r for r in gopher_filter(docs, min_tokens=10).collect()}
+        assert out[0]["keep"]
+        for d in range(1, 9):
+            assert not out[d]["keep"], d
+        assert out[1]["n_tokens"] < 10
+        assert out[2]["mean_word_len"] < 3
+        assert out[3]["symbol_ratio"] > 0.1
+        assert out[4]["bullet_line_frac"] == 1.0
+        assert out[5]["ellipsis_line_frac"] == 1.0
+        assert out[6]["alpha_word_frac"] < 0.8
+        assert out[7]["n_stop_hits"] == 0
+        assert out[8]["n_tokens"] == 0
+
+    def test_single_projection_plan(self, spark):
+        from webscraping_spark.operators.textstats import gopher_filter
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "ArrowEval" not in plan

@@ -222,3 +222,101 @@ def redact_pii(
         *[counts[name].cast("long").alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
         n_pii.cast("long").alias("n_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1.1) — the canonical
+# composite document filter, as one codegen projection
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc Gopher rule signals + the composite ``keep`` flag:
+    (id, n_tokens, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_hits, keep).
+
+    Every rule is a higher-order array / regex expression over the tokens
+    and lines — one whole-stage-codegen projection, zero shuffle, zero
+    Python, so at 100 TB the whole Gopher gate fuses into the scan stage
+    that already reads the text (combine with :func:`repetition_signals`
+    for the paper's repetition rules). Ratios are rounded to 6 places so
+    the DuckDB oracle's identical double arithmetic compares exactly.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)) / nd, 6
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (F.length(t) - F.length(F.regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    symbol_ratio = F.round((n_hash + n_ell) / nd, 6)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("•") | x.startswith("-") | x.startswith("*"),
+            )
+        )
+        / nl,
+        6,
+    )
+    ellipsis = F.round(
+        F.size(F.filter(lines, lambda x: x.endswith("...") | x.endswith("…"))) / nl,
+        6,
+    )
+    alpha = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / nd, 6
+    )
+    low = F.transform(toks, lambda x: F.lower(x))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(low, w),
+        )
+    )
+    keep = (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet <= max_bullet_line_frac)
+        & (ellipsis <= max_ellipsis_line_frac)
+        & (alpha >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ellipsis.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
