@@ -795,6 +795,39 @@ def q_gopher_filter(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """The C4 line+page cleaning rules (textstats.c4_clean, Raffel et al.
+    2020 §2.2). The synthetic docs are single-line and unpunctuated, so the
+    query first builds a deterministic multi-line page per doc (doc_id
+    modular arithmetic plants a too-short line, a javascript line, an
+    unpunctuated line, a lorem-ipsum line, a curly-brace line, a badword
+    line and an optional second sentence — identical construction in the
+    SQL oracle, the pii_redaction pattern), then cleans it at
+    min_sentences=2. Every planted line exercises its rule: line drops
+    leave keep=true, page rules flip keep=false, and the sentence floor
+    needs the doc_id%3 second sentence, so the keep split is mixed."""
+    from webscraping_spark.operators.textstats import c4_clean
+
+    d = F.col("doc_id")
+
+    def _opt(cond, s):
+        return F.when(cond, F.lit(s)).otherwise(F.lit(""))
+
+    page = F.concat(
+        F.col("text"),
+        F.lit(".\n"),
+        _opt(d % 4 == 0, "too short.\n"),
+        _opt(d % 4 == 1, "please enable javascript to continue.\n"),
+        _opt(d % 4 == 2, "this line has no terminal punctuation\n"),
+        _opt(d % 5 == 0, "lorem ipsum dolor sit amet.\n"),
+        _opt(d % 7 == 0, "config = { debug: true }\n"),
+        _opt(d % 11 == 0, "cheap viagra casino bonus here.\n"),
+        _opt(d % 3 == 0, "a second good sentence appears here."),
+    )
+    docs = _t(spark, sf_dir, "documents").select(d, page.alias("text"))
+    return c4_clean(docs, min_sentences=2)
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1153,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_examples": q_pack_examples,
         "minhash_sig_parity": q_minhash_sig_parity,
         "gopher_filter": q_gopher_filter,
+        "c4_clean": q_c4_clean,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1455,6 +1489,76 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8
                     AND n_stop_hits >= 1) AS keep
             FROM lf
+        """,
+        "c4_clean": """
+            -- full re-derivation of the C4 rules over the same planted page
+            -- construction as the Spark query (min_sentences=2)
+            WITH page AS (
+                SELECT doc_id,
+                       text || '.' || chr(10)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN 'too short.' || chr(10) ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN 'please enable javascript to continue.'
+                                    || chr(10) ELSE '' END
+                       || CASE WHEN doc_id % 4 = 2
+                               THEN 'this line has no terminal punctuation'
+                                    || chr(10) ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN 'lorem ipsum dolor sit amet.' || chr(10)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN 'config = { debug: true }' || chr(10)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN 'cheap viagra casino bonus here.'
+                                    || chr(10) ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN 'a second good sentence appears here.'
+                               ELSE '' END AS p
+                FROM documents
+            ), lines AS (
+                SELECT doc_id, p,
+                       list_filter(list_transform(string_split(p, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS nonempty,
+                       list_filter(
+                           list_transform(string_split(p, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> ''
+                                AND len(regexp_split_to_array(x, '\\s+')) >= 3
+                                AND (ends_with(x, '.') OR ends_with(x, '!')
+                                     OR ends_with(x, '?') OR ends_with(x, '"')
+                                     OR ends_with(x, '”'))
+                                AND NOT contains(lower(x), 'javascript')
+                       ) AS kept
+                FROM page
+            ), agg AS (
+                SELECT doc_id, p, nonempty, kept,
+                       array_to_string(kept, chr(10)) AS clean_text,
+                       list_filter(regexp_split_to_array(lower(p),
+                                                         '[^a-z0-9]+'),
+                                   x -> x <> '') AS words
+                FROM lines
+            )
+            SELECT doc_id, clean_text,
+                   CAST(len(nonempty) AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_lines_kept,
+                   CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INT)
+                       AS n_sentences,
+                   contains(lower(p), 'lorem ipsum') AS has_lorem,
+                   (contains(p, '{') OR contains(p, '}')) AS has_brace,
+                   CAST(len(list_filter(['porn','xxx','viagra','casino',
+                                         'nude'],
+                            w -> list_contains(words, w))) AS INT)
+                       AS n_badwords,
+                   (len(regexp_extract_all(clean_text, '[.!?]')) >= 2
+                    AND NOT contains(lower(p), 'lorem ipsum')
+                    AND NOT (contains(p, '{') OR contains(p, '}'))
+                    AND len(list_filter(['porn','xxx','viagra','casino',
+                                         'nude'],
+                            w -> list_contains(words, w))) = 0) AS keep
+            FROM agg
         """,
         "minhash_sig_parity": """
             -- violation set: docs where the streaming row-local MinHash

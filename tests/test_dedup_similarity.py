@@ -756,3 +756,57 @@ class TestGopherFilter:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "ArrowEval" not in plan
+
+
+class TestC4Clean:
+    """textstats.c4_clean — the C4 line+page cleaning rules."""
+
+    def test_line_and_page_rules(self, spark):
+        good = "\n".join(
+            ["this is a perfectly fine sentence number %d." % i for i in range(5)]
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, good),                                        # keeps everything
+                (1, good + "\nno punctuation on this line"),      # line dropped
+                (2, good + "\ntoo short."),                       # <3 words dropped
+                (3, good + "\nplease enable javascript to view."),# js line dropped
+                (4, good + "\nlorem ipsum dolor sit amet."),      # page dropped
+                (5, good + "\nvar config = {debug: true};"),      # brace page drop
+                (6, good + "\ncheap viagra sold right here."),    # badword page drop
+                (7, "only two fine sentences. here is another."), # <5 sentences
+                (8, ""),                                          # empty
+            ],
+            "doc_id long, text string",
+        )
+        from webscraping_spark.operators.textstats import c4_clean
+
+        out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+        assert out[0]["keep"] and out[0]["n_lines_kept"] == 5
+        assert out[0]["clean_text"] == good
+        for d in (1, 2, 3):
+            assert out[d]["keep"], d           # offending LINE dropped, page ok
+            assert out[d]["n_lines"] == 6 and out[d]["n_lines_kept"] == 5, d
+            assert out[d]["clean_text"] == good, d
+        assert not out[4]["keep"] and out[4]["has_lorem"]
+        assert not out[5]["keep"] and out[5]["has_brace"]
+        assert not out[6]["keep"] and out[6]["n_badwords"] == 1
+        assert not out[7]["keep"] and out[7]["n_sentences"] == 2
+        assert not out[8]["keep"] and out[8]["n_lines"] == 0
+
+    def test_terminal_quote_counts(self, spark):
+        from webscraping_spark.operators.textstats import c4_clean
+
+        docs = spark.createDataFrame(
+            [(0, 'he said "this is a quote."\nshe replied "indeed it is!"')],
+            "doc_id long, text string",
+        )
+        row = c4_clean(docs, min_sentences=2).collect()[0]
+        assert row["n_lines_kept"] == 2 and row["keep"]
+
+    def test_single_projection_plan(self, spark):
+        from webscraping_spark.operators.textstats import c4_clean
+
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "ArrowEval" not in plan

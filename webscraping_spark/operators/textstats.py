@@ -320,3 +320,90 @@ def gopher_filter(
         stop_hits.alias("n_stop_hits"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, §2.2) — the other canonical
+# corpus filter: per-LINE retention rules plus page-level drop rules, as one
+# codegen projection
+# ---------------------------------------------------------------------------
+
+# a few entries from the public LDNOOBW list the paper cites; callers pass
+# the full list in production
+C4_BADWORDS = ("porn", "xxx", "viagra", "casino", "nude")
+
+_TERMINAL = (".", "!", "?", '"', "”")
+
+
+def c4_clean(
+    docs: DataFrame,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple[str, ...] = C4_BADWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) as per-doc signals:
+    (id, clean_text, n_lines, n_lines_kept, n_sentences, has_lorem,
+    has_brace, n_badwords, keep).
+
+    Line level (lines are ``\\n``-separated, trimmed): retain a line iff it
+    ends in terminal punctuation (``. ! ? "`` — the paper's rule 1), has at
+    least ``min_words_per_line`` whitespace words (rule 2b), and does not
+    contain the word "javascript" (rule 4). ``clean_text`` re-joins the
+    retained lines. Page level: drop the page when the retained text has
+    fewer than ``min_sentences`` sentence-final marks (rule 2a; counted as
+    ``[.!?]`` occurrences in ``clean_text``), when the ORIGINAL page
+    contains "lorem ipsum" (rule 5) or a curly bracket (rule 6), or when
+    any page word is on the badword list (rule 3; words = maximal
+    ``[a-z0-9]+`` runs of the lowercased page). The paper's rule 7
+    (three-sentence-span dedup) is corpus-level, not per-doc — use
+    :func:`webscraping_spark.operators.dedup.remove_duplicate_spans`.
+
+    Every rule is a higher-order array / regex expression — one
+    whole-stage-codegen projection, zero shuffle, zero Python, so the
+    cleaner fuses into the scan stage that already reads the text (stack
+    with :func:`gopher_filter` / :func:`repetition_signals` for a combined
+    quality pass at one scan's cost).
+    """
+    t = F.col(text_col)
+    tl = F.transform(F.split(t, "\n"), lambda x: F.trim(x))
+
+    def _line_kept(x):
+        ends_ok = x.endswith(_TERMINAL[0])
+        for mark in _TERMINAL[1:]:
+            ends_ok = ends_ok | x.endswith(mark)
+        return (
+            (x != "")
+            & (F.size(F.split(x, "\\s+")) >= min_words_per_line)
+            & ends_ok
+            & ~F.lower(x).contains("javascript")
+        )
+
+    nonempty = F.filter(tl, lambda x: x != "")
+    kept = F.filter(tl, _line_kept)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    words = F.filter(F.split(F.lower(t), "[^a-z0-9]+"), lambda x: x != "")
+    n_bad = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in badwords]),
+            lambda w: F.array_contains(words, w),
+        )
+    )
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{") | t.contains("}")
+    keep = (
+        (n_sent >= min_sentences) & ~has_lorem & ~has_brace & (n_bad == 0)
+    )
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(nonempty).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        n_bad.cast("int").alias("n_badwords"),
+        keep.alias("keep"),
+    )
