@@ -828,6 +828,49 @@ def q_c4_clean(spark, sf_dir):
     return c4_clean(docs, min_sentences=2)
 
 
+def _dsir_ratios(spark, sf_dir, n_buckets=64):
+    """Shared DSIR fit for the two dsir_* queries: target = docs with
+    doc_id % 10 < 2 (a deterministic 'domain' subset), raw = all docs.
+    fit_logratios collects exactly n_buckets count rows per corpus — the
+    bounded-collect contract, not a corpus-size collect."""
+    from webscraping_spark.operators.importance import fit_logratios
+
+    docs = _t(spark, sf_dir, "documents")
+    return fit_logratios(
+        docs.filter(F.col("doc_id") % 10 < 2), docs, n_buckets=n_buckets
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (importance.fit_logratios +
+    importance_weights, Xie et al. 2023): hashed unigram+bigram buckets on
+    the cross-engine md5 contract, add-one-smoothed log ratios between the
+    planted target subset and the full corpus, per-doc weight as a
+    zero-shuffle literal-array fold. The oracle re-derives the ENTIRE
+    pipeline in DuckDB — gram lists, bucket hashes, both corpus counts,
+    the smoothed log ratios and every doc's folded weight."""
+    from webscraping_spark.operators.importance import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    ratios = _dsir_ratios(spark, sf_dir)
+    return importance_weights(docs, ratios).select("doc_id", "logw")
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel top-k resample (importance.importance_resample): keep
+    the 100 docs with the best logw + deterministic Gumbel(doc_id) noise —
+    sampling without replacement proportional to exp(logw), reproducible
+    across engines because the noise is salted md5, not rand(). Oracle
+    re-derives weights, noise, scores and the top-100 set independently."""
+    from webscraping_spark.operators.importance import importance_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    ratios = _dsir_ratios(spark, sf_dir)
+    return importance_resample(docs, ratios, k=100).select(
+        "doc_id", "logw", "score"
+    )
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1187,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig_parity": q_minhash_sig_parity,
         "gopher_filter": q_gopher_filter,
         "c4_clean": q_c4_clean,
+        "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1559,6 +1604,112 @@ def oracle_sql() -> dict[str, str]:
                                          'nude'],
                             w -> list_contains(words, w))) = 0) AS keep
             FROM agg
+        """,
+        "dsir_weights": """
+            -- full independent re-derivation of the DSIR fit + weights:
+            -- hashed unigram+bigram buckets (md5 contract), add-one
+            -- smoothed log ratios target-vs-raw (B=64), per-doc fold
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_concat(tk,
+                           list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])) AS gs
+                FROM toks
+            ), bdocs AS (
+                SELECT doc_id,
+                       list_transform(gs, g ->
+                           CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))
+                                ::UBIGINT % 64 AS INT)) AS bk
+                FROM grams
+            ), tcnt AS (
+                SELECT b, count(*) AS c
+                FROM (SELECT unnest(bk) AS b FROM bdocs WHERE doc_id % 10 < 2)
+                GROUP BY b
+            ), rcnt AS (
+                SELECT b, count(*) AS c
+                FROM (SELECT unnest(bk) AS b FROM bdocs) GROUP BY b
+            ), tots AS (
+                SELECT (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+                       (SELECT coalesce(sum(c), 0) FROM rcnt) AS rt
+            ), ratio AS (
+                SELECT s.b,
+                       round(ln((coalesce(tcnt.c, 0) + 1.0) / (tots.tt + 64.0))
+                             - ln((coalesce(rcnt.c, 0) + 1.0)
+                                  / (tots.rt + 64.0)), 6) AS lr
+                FROM range(64) s(b) CROSS JOIN tots
+                LEFT JOIN tcnt ON tcnt.b = s.b
+                LEFT JOIN rcnt ON rcnt.b = s.b
+            ), lut AS (
+                SELECT list(lr ORDER BY b) AS l FROM ratio
+            )
+            SELECT doc_id,
+                   round(coalesce(list_sum(list_transform(bk,
+                             x -> l[x + 1])), 0.0), 6) AS logw
+            FROM bdocs CROSS JOIN lut
+        """,
+        "dsir_resample": """
+            -- dsir_weights' full re-derivation plus deterministic Gumbel
+            -- noise (salted md5 -> u -> -ln(-ln u)) and the top-100 set
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_concat(tk,
+                           list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])) AS gs
+                FROM toks
+            ), bdocs AS (
+                SELECT doc_id,
+                       list_transform(gs, g ->
+                           CAST(('0x' || substr(md5(g || ':dsir'), 1, 8))
+                                ::UBIGINT % 64 AS INT)) AS bk
+                FROM grams
+            ), tcnt AS (
+                SELECT b, count(*) AS c
+                FROM (SELECT unnest(bk) AS b FROM bdocs WHERE doc_id % 10 < 2)
+                GROUP BY b
+            ), rcnt AS (
+                SELECT b, count(*) AS c
+                FROM (SELECT unnest(bk) AS b FROM bdocs) GROUP BY b
+            ), tots AS (
+                SELECT (SELECT coalesce(sum(c), 0) FROM tcnt) AS tt,
+                       (SELECT coalesce(sum(c), 0) FROM rcnt) AS rt
+            ), ratio AS (
+                SELECT s.b,
+                       round(ln((coalesce(tcnt.c, 0) + 1.0) / (tots.tt + 64.0))
+                             - ln((coalesce(rcnt.c, 0) + 1.0)
+                                  / (tots.rt + 64.0)), 6) AS lr
+                FROM range(64) s(b) CROSS JOIN tots
+                LEFT JOIN tcnt ON tcnt.b = s.b
+                LEFT JOIN rcnt ON rcnt.b = s.b
+            ), lut AS (
+                SELECT list(lr ORDER BY b) AS l FROM ratio
+            ), w AS (
+                SELECT doc_id,
+                       round(coalesce(list_sum(list_transform(bk,
+                                 x -> l[x + 1])), 0.0), 6) AS logw
+                FROM bdocs CROSS JOIN lut
+            )
+            SELECT doc_id, logw,
+                   round(logw + round(-ln(-ln(
+                       ((('0x' || substr(md5(doc_id::VARCHAR || ':g42'),
+                                         1, 8))::UBIGINT + 1)::DOUBLE)
+                       / 4294967297.0)), 6), 6) AS score
+            FROM w
+            ORDER BY score DESC, doc_id
+            LIMIT 100
         """,
         "minhash_sig_parity": """
             -- violation set: docs where the streaming row-local MinHash
