@@ -871,6 +871,22 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature domain rebalance (sampling.temperature_rates +
+    domain_mix, the mBERT/XLM n^tau mixture) over the skewed lang column
+    (en is ~3.4x fr at sf0.01): tau=0.5 keeps all of the smallest language
+    and downsamples the rest toward p_d ∝ sqrt(n_d), deterministically via
+    the salted-md5 contract. The fit collects one row per language; the
+    apply is a broadcast join + row-local threshold, zero corpus shuffle.
+    The oracle re-derives counts, C* = min n^(1-tau), the rounded rates
+    and every row's keep decision in DuckDB."""
+    from webscraping_spark.operators.sampling import domain_mix, temperature_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "lang", tau=0.5)
+    return domain_mix(docs, "lang", rates, "doc_id").select("doc_id", "lang")
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1232,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
+        "temperature_mix": q_temperature_mix,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1710,6 +1727,25 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             ORDER BY score DESC, doc_id
             LIMIT 100
+        """,
+        "temperature_mix": """
+            -- re-derive the n^tau mixture end-to-end: per-lang counts,
+            -- C* = min n^(1-tau) (tau=0.5), rounded keep rates, and every
+            -- row's salted-md5 threshold decision
+            WITH cnts AS (
+                SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ), cstar AS (
+                SELECT min(pow(c, 0.5)) AS cs FROM cnts
+            ), rates AS (
+                SELECT lang,
+                       round(least(1.0, cs * pow(c, -0.5)), 6) AS rate
+                FROM cnts CROSS JOIN cstar
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r USING (lang)
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':m42'),
+                                  1, 8))::UBIGINT
+                  < CAST(round(r.rate * 4294967296.0) AS BIGINT)
         """,
         "minhash_sig_parity": """
             -- violation set: docs where the streaming row-local MinHash

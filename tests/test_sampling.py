@@ -229,3 +229,98 @@ class TestPackExamples:
         )
         assert plan.count("MapInPandas") == 1
         assert "ArrowEval" not in plan and "CartesianProduct" not in plan
+
+
+class TestTemperatureMix:
+    """sampling.temperature_rates / domain_mix — the n^tau rebalance."""
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # domains a:1600, b:400, c:100 — 16:4:1 skew
+        return spark.range(2100).withColumn(
+            "dom",
+            F.when(F.col("id") < 1600, "a")
+            .when(F.col("id") < 2000, "b")
+            .otherwise("c"),
+        )
+
+    def test_rates_closed_form(self, spark, skewed):
+        # tau=0.5: C* = min(n^(1-tau)) = 100^0.5 = 10;
+        # rate_d = C*·n_d^(tau-1) = 10/sqrt(n_d)
+        rates = sampling.temperature_rates(skewed, "dom", tau=0.5)
+        assert rates == {
+            "a": round(10 / 1600**0.5, 6),
+            "b": round(10 / 400**0.5, 6),
+            "c": 1.0,
+        }
+
+    def test_budget_caps_expected_total(self, spark, skewed):
+        # sum n^0.5 = 40+20+10 = 70; budget 350 -> C = 5 < C* = 10
+        rates = sampling.temperature_rates(skewed, "dom", tau=0.5, budget=350)
+        assert rates == {
+            "a": round(5 / 1600**0.5, 6),
+            "b": round(5 / 400**0.5, 6),
+            "c": round(5 / 100**0.5, 6),
+        }
+
+    def test_tau_one_keeps_everything(self, spark, skewed):
+        rates = sampling.temperature_rates(skewed, "dom", tau=1.0)
+        assert rates == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+    def test_mix_rebalances_toward_target(self, spark, skewed):
+        rates = sampling.temperature_rates(skewed, "dom", tau=0.5)
+        out = sampling.domain_mix(skewed, "dom", rates, "id")
+        counts = {
+            r["dom"]: r["n"]
+            for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+        }
+        # expected kept = C*·n^tau = 10·sqrt(n): a=400, b=200, c=100
+        assert counts["c"] == 100  # rate 1.0 keeps all
+        assert 320 < counts["a"] < 480 and 150 < counts["b"] < 250
+
+    def test_mix_matches_python_rederivation(self, spark, skewed):
+        import hashlib
+
+        rates = {"a": 0.25, "b": 1.0}  # c unlisted -> dropped
+        out = sorted(
+            r["id"] for r in sampling.domain_mix(skewed, "dom", rates, "id").collect()
+        )
+
+        def keep(i, dom):
+            if dom not in rates:
+                return False
+            h = int(hashlib.md5(f"{i}:m42".encode()).hexdigest()[:8], 16)
+            return h < int(round(rates[dom] * 2**32))
+
+        want = sorted(
+            i
+            for i in range(2100)
+            if keep(i, "a" if i < 1600 else ("b" if i < 2000 else "c"))
+        )
+        assert out == want
+
+    def test_mix_partitioning_invariant(self, spark, skewed):
+        rates = sampling.temperature_rates(skewed, "dom", tau=0.5)
+        a = sorted(r["id"] for r in sampling.domain_mix(skewed, "dom", rates, "id").collect())
+        b = sorted(
+            r["id"]
+            for r in sampling.domain_mix(skewed.repartition(11), "dom", rates, "id").collect()
+        )
+        assert a == b
+
+    def test_broadcast_no_corpus_shuffle(self, spark, skewed):
+        rates = {"a": 0.5, "b": 0.5, "c": 0.5}
+        plan = (
+            sampling.domain_mix(skewed, "dom", rates, "id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "hashpartitioning" not in plan  # no shuffle of the corpus side
+
+    def test_guards(self, spark, skewed):
+        with pytest.raises(ValueError):
+            sampling.temperature_rates(skewed, "dom", tau=0.0)
+        with pytest.raises(ValueError):
+            sampling.domain_mix(skewed, "dom", {"a": 1.5}, "id")

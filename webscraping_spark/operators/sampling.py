@@ -280,3 +280,75 @@ def pack_examples(
             ).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based domain mixture (the multilingual-LM n^tau rebalance:
+# Devlin et al. 2019 mBERT, Conneau & Lample 2019 XLM) — rebalance a skewed
+# corpus toward p_d ∝ n_d^tau by deterministic per-domain downsampling
+# ---------------------------------------------------------------------------
+
+
+def temperature_rates(
+    df: DataFrame,
+    domain_col: str,
+    tau: float = 0.7,
+    budget: int | None = None,
+) -> dict[str, float]:
+    """Per-domain Bernoulli keep rates realizing the temperature mixture
+    p_d ∝ n_d^tau by subsampling WITHOUT replacement.
+
+    kept_d = C·n_d^tau with the largest feasible C: C* = min_d n_d^(1-tau)
+    (the smallest domain keeps everything, larger domains are downsampled
+    — no domain can be oversampled without replacement). A ``budget``
+    caps the expected total kept rows at min(C*, budget / Σ n_d^tau).
+    Rates are rounded to 6 decimals so an independent engine's ``pow``
+    reproduces them exactly.
+
+    One groupBy; the collect is bounded by the domain count, not corpus
+    size (the same bounded-collect contract as the DSIR fit).
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count("*").alias("c")).collect()
+    }
+    if not counts:
+        return {}
+    c_star = min(n ** (1.0 - tau) for n in counts.values())
+    if budget is not None:
+        c_star = min(c_star, budget / sum(n**tau for n in counts.values()))
+    return {
+        d: round(min(1.0, c_star * n ** (tau - 1.0)), 6)
+        for d, n in counts.items()
+    }
+
+
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "m42",
+) -> DataFrame:
+    """Apply per-domain keep rates deterministically: keep a row iff its
+    salted md5 bucket falls under its domain's threshold. The rates table
+    (one row per domain) broadcasts; the corpus side never shuffles —
+    BroadcastHashJoin + filter, so at 100 TB the mix is one scan. Domains
+    absent from ``rates`` are dropped (inner join), matching the mixture
+    contract: an unlisted domain has weight 0. Same rows kept on every
+    run, partitioning and engine — ``df.sample`` would not be."""
+    spark = df.sparkSession
+    bad = {d: r for d, r in rates.items() if not 0.0 <= r <= 1.0}
+    if bad:
+        raise ValueError(f"rates out of [0,1]: {bad}")
+    rates_df = spark.createDataFrame(
+        [(d, int(round(r * _BUCKETS))) for d, r in rates.items()],
+        f"{domain_col} string, _thr long",
+    )
+    return (
+        df.join(F.broadcast(rates_df), domain_col, "inner")
+        .filter(_hash_bucket(F.col(id_col), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
