@@ -2,6 +2,7 @@
 download.py:455-473) and robots gating (download.py:978/1022 +
 urllib.robotparser rule semantics)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from webscraping_spark.operators import politeness as P
@@ -392,3 +393,117 @@ Disallow: /y
             assert allowed == expected, f"agent={agent}"
         got = {r["url"] for r in robots_gate(cands, rules, "helperbot").collect()}
         assert "http://a.com/y/a" in got and "http://a.com/x/a" not in got
+
+
+class TestCrawlDelay:
+    """robots crawl-delay: parse + resolution vs urllib.robotparser, and
+    the politeness-planner override."""
+
+    BODIES = {
+        # named entry with a delay; default with another
+        "a.com": "User-agent: testbot\nDisallow: /x\nCrawl-delay: 7\n\n"
+                 "User-agent: *\nDisallow: /y\nCrawl-delay: 3\n",
+        # applicable named entry WITHOUT a delay shadows the default's
+        "b.com": "User-agent: testbot\nDisallow: /x\n\n"
+                 "User-agent: *\nCrawl-delay: 3\nDisallow: /y\n",
+        # non-integer delay is ignored (robotparser's isdigit gate)
+        "c.com": "User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n",
+        # delay-only entry: no rules, still recorded and applicable
+        "d.com": "User-agent: testbot\nCrawl-delay: 9\n\n"
+                 "User-agent: *\nDisallow: /\n",
+        # only the FIRST * entry counts; the second one's delay is dropped
+        "e.com": "User-agent: *\nDisallow: /x\n\n"
+                 "User-agent: *\nCrawl-delay: 4\nDisallow: /y\n",
+        # no delays anywhere
+        "f.com": "User-agent: *\nDisallow: /x\n",
+    }
+
+    def _rfp(self, body):
+        import urllib.robotparser
+
+        rfp = urllib.robotparser.RobotFileParser()
+        rfp.parse(body.splitlines())
+        return rfp
+
+    @pytest.mark.parametrize("agent", ["testbot", "otherbot", "testbot/2.0"])
+    def test_resolution_matches_robotparser(self, spark, agent):
+        from webscraping_spark.operators.robots import crawl_delay_table, delays_table
+
+        delays = delays_table(spark, self.BODIES)
+        got = {
+            r["domain"]: r["crawl_delay"]
+            for r in crawl_delay_table(delays, agent).collect()
+        }
+        want = {}
+        for domain, body in self.BODIES.items():
+            d = self._rfp(body).crawl_delay(agent)
+            if d is not None:
+                want[domain] = float(d)
+        assert got == want
+
+    def test_delay_only_entry_shadows_default_in_gate(self, spark):
+        # d.com: testbot's entry has no rules -> robotparser allows ALL
+        # paths for testbot (empty entry shadows 'Disallow: /')
+        from webscraping_spark.operators.robots import robots_gate, robots_table
+
+        rules = robots_table(spark, self.BODIES)
+        cands = spark.createDataFrame(
+            [("d.com", "http://d.com/deep/page")], "domain string, url string"
+        )
+        rfp = self._rfp(self.BODIES["d.com"])
+        assert rfp.can_fetch("testbot", "http://d.com/deep/page")
+        assert not rfp.can_fetch("otherbot", "http://d.com/deep/page")
+        assert robots_gate(cands, rules, "testbot").count() == 1
+        assert robots_gate(cands, rules, "otherbot").count() == 0
+
+    def test_plan_schedule_applies_override_as_floor(self, spark):
+        from webscraping_spark.operators import politeness
+
+        batch = spark.createDataFrame(
+            [
+                (f"http://{d}/p{i}", d, 0, i)
+                for d in ("slow.com", "fast.com")
+                for i in range(3)
+            ],
+            "url string, domain string, priority int, seq int",
+        )
+        state = spark.createDataFrame([], politeness.DOMAIN_STATE_SCHEMA)
+        overrides = spark.createDataFrame(
+            [("slow.com", 10.0), ("fast.com", 1.0)],
+            "domain string, crawl_delay double",
+        )
+        planned, _ = politeness.plan_schedule(
+            batch, state, delay=2.0, variance=0.0, domain_delays=overrides,
+            hot_group_rows=None,
+        )
+        offs = {
+            (r["domain"], r["seq"]): r["scheduled_offset"]
+            for r in planned.collect()
+        }
+        # variance=0 -> jitter == effective delay exactly;
+        # slow.com spaced at max(2, 10) = 10, fast.com floored to max(2, 1) = 2
+        for i in range(3):
+            assert offs[("slow.com", i)] == pytest.approx(10.0 * i)
+            assert offs[("fast.com", i)] == pytest.approx(2.0 * i)
+        assert "crawl_delay" not in planned.columns
+
+    def test_crawl_job_accepts_overrides(self, spark, tmp_path):
+        # e2e smoke: a CrawlJob with robots_delays still crawls the diamond
+        # fixture correctly (order/seen unchanged — delays only stretch the
+        # schedule, and the diamond is single-domain)
+        from webscraping_spark.operators.robots import crawl_delay_table, delays_table
+        from webscraping_spark.plans.crawl import CrawlConfig, CrawlJob
+        from webscraping_spark.sources import synth
+
+        pages = synth.site_diamond()
+        delays = delays_table(
+            spark, {"example.com": "User-agent: *\nDisallow: /nope\nCrawl-delay: 6\n"}
+        )
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None),
+            robots_delays=crawl_delay_table(delays, "testbot"),
+        )
+        job.run([pages[0]["url"]])
+        assert job.metrics.num_caches == 1

@@ -30,17 +30,20 @@ Engine re-expression (no wall-clock sleeping, no global state):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 DOMAIN_STATE_SCHEMA = "domain string, proxy string, next_allowed_offset double"
 
 
-def jitter_col(delay: float, variance: float, seed: int) -> "F.Column":
-    """Seeded per-URL jittered delay: delay * (1 + variance*(u - 0.5))."""
+def jitter_col(delay, variance: float, seed: int) -> "F.Column":
+    """Seeded per-URL jittered delay: delay * (1 + variance*(u - 0.5)).
+    ``delay`` is a float or a Column (the per-domain effective delay when
+    robots Crawl-delay overrides are in play)."""
+    d = delay if isinstance(delay, Column) else F.lit(float(delay))
     u = F.pmod(F.xxhash64(F.col("url"), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
-    return F.lit(delay) * (F.lit(1.0) + F.lit(variance) * (u - F.lit(0.5)))
+    return d * (F.lit(1.0) + F.lit(variance) * (u - F.lit(0.5)))
 
 
 def plan_schedule(
@@ -51,6 +54,7 @@ def plan_schedule(
     seed: int = 42,
     proxy_col: str | None = None,
     hot_group_rows: int | None = 50_000,
+    domain_delays: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Assign ``scheduled_offset`` (seconds from superstep start) to each
     row of the batch and roll ``domain_state`` forward.
@@ -86,10 +90,21 @@ def plan_schedule(
     proxy = F.col(proxy_col) if proxy_col else F.lit("")
     b = batch.withColumn("_proxy", proxy)
 
+    eff_delay = float(delay)
+    if domain_delays is not None:
+        # robots Crawl-delay overrides: a (domain, crawl_delay) table
+        # (robots.crawl_delay_table) broadcasts in; the configured delay
+        # is the politeness FLOOR — robots can slow a domain down, never
+        # below the crawler's own minimum spacing
+        b = b.join(F.broadcast(domain_delays), "domain", "left")
+        eff_delay = F.greatest(
+            F.lit(float(delay)), F.coalesce(F.col("crawl_delay"), F.lit(0.0))
+        )
+
     hot_bases = None
     if hot_group_rows is not None:
         # the hot-group stats passes below consume _jitter pre-exchange
-        b = b.withColumn("_jitter", jitter_col(delay, variance, seed))
+        b = b.withColumn("_jitter", jitter_col(eff_delay, variance, seed))
         # the pre-agg + totals + scan would each re-evaluate the batch's
         # upstream plan; persist() shares one materialization across the
         # passes. NOT localCheckpoint: truncated lineage cannot recompute
@@ -193,7 +208,7 @@ def plan_schedule(
         # cold path: jitter is a pure function of `url` (which rides the
         # exchange regardless) — computing it AFTER the repartition keeps
         # 8 bytes/row off the shuffle wire
-        b = b.withColumn("_jitter", jitter_col(delay, variance, seed))
+        b = b.withColumn("_jitter", jitter_col(eff_delay, variance, seed))
     b = b.withColumn(
         "_prior_delay", F.coalesce(F.sum("_jitter").over(w), F.lit(0.0))
     )
@@ -228,7 +243,7 @@ def plan_schedule(
         "left_anti",
     )
     return (
-        planned.drop("_proxy", "_jitter", "_prior_delay", "_bucket"),
+        planned.drop("_proxy", "_jitter", "_prior_delay", "_bucket", "crawl_delay"),
         new_state.unionByName(carried),
     )
 

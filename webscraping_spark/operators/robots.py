@@ -38,46 +38,48 @@ ROBOTS_SCHEMA = (
     "order int, entry int"
 )
 
+DELAYS_SCHEMA = "domain string, agent string, entry int, crawl_delay double"
 
-def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, int, int]]:
-    """Parse robots.txt content into ROBOTS_SCHEMA rows.
 
-    Follows urllib.robotparser's reading of the format: ``User-agent``
-    lines open a section (consecutive agent lines share the following
-    rules), ``Allow``/``Disallow`` lines append rules in file order, ``#``
-    comments and unknown directives are ignored, and an empty Disallow
-    value means allow-all (recorded as an allow with empty prefix).
+def _parse_entries(
+    text: str,
+) -> list[tuple[list[str], list[tuple[str, str, int]], int | None]]:
+    """urllib.robotparser's ``parse()`` state machine: file-ordered entries
+    as ``(agents, rules, crawl_delay)`` after default folding.
 
-    ``entry`` numbers sections in file order; a section whose agents
-    include ``*`` is emitted with the single agent ``'*'`` (robotparser
-    folds the whole entry into the default entry) and only the first such
-    section is kept.
+    Semantics replicated exactly: consecutive ``User-agent`` lines share
+    the following rules; a rule or ``Crawl-delay`` line moves the entry to
+    state 2, and only state-2 entries are recorded (agents with no
+    rules/delay vanish, just like robotparser's EOF check); an entry whose
+    agents include ``*`` becomes the default entry — first one wins, later
+    ``*`` entries are dropped whole; ``Crawl-delay`` accepts only integer
+    values (robotparser's ``isdigit()`` gate — ``2.5`` is ignored); an
+    empty ``Disallow`` value records as allow-all; ``#`` comments and
+    unknown directives are ignored. An entry can be delay-only (zero
+    rules) — robotparser still records it, and an applicable empty entry
+    allows everything AND shadows the default entry.
     """
-    rows: list[tuple[str, str, str, str, int, int]] = []
-    agents: list[str] = []
-    section: list[tuple[str, str, int]] = []
-    expecting_agents = True
-    entry = 0
-    order = 0
+    entries: list[tuple[list[str], list[tuple[str, str, int]], int | None]] = []
     have_default = False
+    agents: list[str] = []
+    rules: list[tuple[str, str, int]] = []
+    delay: int | None = None
+    state = 0  # 0 = start, 1 = agents seen, 2 = rules/delay seen
+    order = 0
 
-    def flush() -> None:
-        nonlocal entry, have_default
-        if not agents or not section:
-            return
-        if "*" in agents:
-            # robotparser._add_entry: the whole entry becomes the default
-            # entry (named co-agents never match) and the first '*' entry
-            # wins; later ones are dropped.
-            if not have_default:
-                have_default = True
-                for rule, prefix, o in section:
-                    rows.append((domain, "*", rule, prefix, o, entry))
-        else:
-            for agent in agents:
-                for rule, prefix, o in section:
-                    rows.append((domain, agent, rule, prefix, o, entry))
-        entry += 1
+    def add() -> None:
+        nonlocal agents, rules, delay, have_default
+        if agents:
+            if "*" in agents:
+                # robotparser._add_entry: the whole entry becomes the
+                # default (named co-agents never match by name) and the
+                # first '*' entry wins; later ones are dropped.
+                if not have_default:
+                    have_default = True
+                    entries.append((["*"], rules, delay))
+            else:
+                entries.append((agents, rules, delay))
+        agents, rules, delay = [], [], None
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -87,22 +89,61 @@ def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, i
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            if not expecting_agents:
-                flush()
-                agents, section = [], []
-                expecting_agents = True
+            if state == 2:
+                add()
+            state = 1
             agents.append(value)
         elif key in ("allow", "disallow"):
-            expecting_agents = False
-            if not agents:
+            if state == 0:
                 continue
+            state = 2
             rule = "allow" if key == "allow" else "disallow"
             if key == "disallow" and value == "":
                 rule, value = "allow", ""
-            section.append((rule, value, order))
+            rules.append((rule, value, order))
             order += 1
-    flush()
+        elif key == "crawl-delay":
+            if state == 0:
+                continue
+            if value.isdigit():
+                delay = int(value)
+            state = 2
+    if state == 2:
+        add()
+    return entries
+
+
+def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, int, int]]:
+    """Parse robots.txt content into ROBOTS_SCHEMA rows (see
+    :func:`_parse_entries` for the shared robotparser state machine).
+
+    ``entry`` numbers the recorded entries in file order. A rule-less
+    entry (e.g. Crawl-delay only) emits one MARKER row with a NULL
+    ``path_prefix``: the gate's prefix predicates are NULL on it so it can
+    never match a path, but the entry stays visible to first-applicable
+    selection — robotparser treats an applicable empty entry as allow-all
+    that shadows the default entry.
+    """
+    rows: list[tuple[str, str, str, str, int, int]] = []
+    for entry_idx, (agents, rules, _delay) in enumerate(_parse_entries(text)):
+        for agent in agents:
+            if rules:
+                for rule, prefix, o in rules:
+                    rows.append((domain, agent, rule, prefix, o, entry_idx))
+            else:
+                rows.append((domain, agent, "allow", None, -1, entry_idx))
     return rows
+
+
+def parse_robots_delays(domain: str, text: str) -> list[tuple[str, str, int, float | None]]:
+    """DELAYS_SCHEMA rows: one per (entry, agent) with the entry's
+    Crawl-delay (None when the entry has none — such rows still matter:
+    a delay-less applicable entry shadows the default entry's delay)."""
+    return [
+        (domain, agent, entry_idx, float(delay) if delay is not None else None)
+        for entry_idx, (agents, _rules, delay) in enumerate(_parse_entries(text))
+        for agent in agents
+    ]
 
 
 def robots_table(spark, per_domain_texts: dict[str, str]):
@@ -112,6 +153,47 @@ def robots_table(spark, per_domain_texts: dict[str, str]):
         for row in parse_robots_txt(domain, text)
     ]
     return spark.createDataFrame(rows, ROBOTS_SCHEMA)
+
+
+def delays_table(spark, per_domain_texts: dict[str, str]):
+    """Build the per-entry Crawl-delay DataFrame from raw robots.txt bodies."""
+    rows = [
+        row for domain, text in per_domain_texts.items()
+        for row in parse_robots_delays(domain, text)
+    ]
+    return spark.createDataFrame(rows, DELAYS_SCHEMA)
+
+
+def crawl_delay_table(delays: DataFrame, user_agent: str) -> DataFrame:
+    """Resolve ``urllib.robotparser.crawl_delay`` per domain: one
+    ``(domain, crawl_delay)`` row per domain that resolves to a delay.
+
+    Entry selection is can_fetch's: the FIRST applicable named entry
+    (substring agent match, file order) decides — returning ITS delay even
+    when it has none, so a delay-less applicable entry yields no row and
+    shadows the default; only domains with no applicable named entry fall
+    through to the ``*`` entry's delay. All operands are rule-table-sized;
+    the result broadcasts into :func:`webscraping_spark.operators.
+    politeness.plan_schedule` as its ``domain_delays`` input.
+    """
+    ua_token = user_agent.split("/")[0].lower()
+    named = delays.filter(
+        (F.col("agent") != "*")
+        & F.lit(ua_token).contains(F.lower(F.col("agent")))
+    )
+    first_entry = named.groupBy("domain").agg(F.min("entry").alias("_win"))
+    named = (
+        named.join(first_entry, "domain")
+        .filter(F.col("entry") == F.col("_win"))
+        # one entry may list several matching agent tokens; the delay is
+        # an entry property, so the rows are duplicates
+        .select("domain", "crawl_delay")
+        .distinct()
+    )
+    star = delays.filter(F.col("agent") == "*").join(
+        named.select("domain").distinct(), "domain", "left_anti"
+    ).select("domain", "crawl_delay")
+    return named.unionByName(star).filter(F.col("crawl_delay").isNotNull())
 
 
 def robots_gate(

@@ -178,10 +178,17 @@ class CrawlJob:
         robots: DataFrame | None = None,
         checkpoint_dir: str | None = None,
         downloader=None,
+        robots_delays: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.robots = robots
+        # resolved (domain, crawl_delay) overrides for the politeness
+        # planner (robots.crawl_delay_table output); config delay stays
+        # the floor. Beyond the reference (robotparser.crawl_delay is
+        # never consulted by download.py), but part of the robots.txt
+        # contract a polite crawler honors.
+        self.robots_delays = robots_delays
         self.catalog = SnapshotCatalog(checkpoint_dir) if checkpoint_dir else None
         # custom downloader hook (threaded_get's `dl`, download.py:789,819):
         # a Callable[[DataFrame(url)], DataFrame(url, html)] that REPLACES
@@ -961,6 +968,7 @@ class CrawlJob:
             # it prevents, and disabling it keeps the float summation
             # order byte-identical to the sequential oracle
             hot_group_rows=None,
+            domain_delays=self.robots_delays,
         )
         # truncate the domain-state lineage EVERY superstep: its plan
         # chains a mapInPandas + join + groupBy per step, and Catalyst
