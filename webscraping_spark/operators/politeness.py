@@ -176,7 +176,26 @@ def plan_schedule(
     # imbalance extends the stage by a full straggler (measured 1.4x
     # task-time inflation at local[16] with cores tasks); 4 waves of
     # smaller sorts balance out and cost nothing extra
-    n_parts = batch.sparkSession.sparkContext.defaultParallelism * 4
+    mult = 4
+    try:
+        # Small-heap survival: under spark-submit's default 1g driver heap
+        # (local mode: executors share it), 4x-cores window tasks each sort
+        # ~100k+ rows, spill under the ~18 MB/task execution-memory floor,
+        # and then OOM OPENING the spills — UnsafeSorterSpillReader's read
+        # buffer is hard-floored at 1 MB per spill file x 32 concurrent
+        # tasks (observed: heap-space OOM in getSortedIterator under the
+        # politeness WindowExec at 16M rows x local[32] x 1g). 4x narrower
+        # tasks sort in memory and never open a spill reader. Wide-heap
+        # runs keep the 4x width: more waves would only add scheduling
+        # overhead to every politeness plan.
+        heap = int(
+            batch.sparkSession._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+        if heap < (2 << 30):
+            mult = 16
+    except Exception:
+        pass  # non-JVM backends (connect): keep the default width
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism * mult
 
     # Grouped prefix sum as a JVM WINDOW running sum, not a pandas scan:
     # the former mapInPandas kernel shipped the WHOLE batch through an

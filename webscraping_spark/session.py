@@ -136,17 +136,34 @@ def get_spark(
         # and these defaults would be wrong.
         builder = builder.config("spark.shuffle.compress", "false")
         # The 1 MB buffer is ALSO conditioned on the heap it must fit in:
-        # the bypass-merge writer holds cores x shuffle.partitions buffers
-        # live at once (local[32] x 64 partitions x 1 MB = 2 GB), which is
-        # instantly fatal under spark-submit's default 1g driver heap —
-        # the JVM there is already up, so the builder's 24g is a no-op.
-        # Keep the big buffer only when the live-buffer worst case stays
-        # under ~1/8 of the real heap (shuffle.file.buffer is a static
-        # core conf: it cannot be corrected after the context starts).
+        # the bypass-merge writer opens one buffered writer PER REDUCE
+        # PARTITION per running task, all live at once — and the widest
+        # shuffle in the engine is the politeness window repartition
+        # (plan_schedule: 4x cores normally, 16x cores on a small heap —
+        # mirror that width here; the two heap rules must agree or the
+        # narrower windows OOM on their own file buffers). Keep the big
+        # buffer only when cores x widest-shuffle x 1 MB fits in ~1/4 of
+        # the real heap (shuffle.file.buffer is a static core conf: it
+        # cannot be corrected after the context starts). Under
+        # spark-submit the JVM is already up with --driver-memory applied
+        # (default 1g) — the builder's 24g is a no-op there.
         heap = _driver_heap_hint()
-        buf_worst_case = cores * max(cores * 2, 8) * (1 << 20)
-        if buf_worst_case <= heap // 8:
+        width_mult = 16 if heap < (2 << 30) else 4
+        worst_parts = max(cores * width_mult, cores * 2, 8)
+        if cores * worst_parts * (1 << 20) <= heap // 4:
             builder = builder.config("spark.shuffle.file.buffer", "1m")
+    # Tiny-heap survival (spark-submit default --driver-memory 1g; local
+    # mode shares that heap across all executor threads): parquet's
+    # vectored IO allocates per-range heap read buffers through a pool
+    # that scales with concurrent scan tasks — observed heap-space OOM
+    # inside VectorIoBridge.readVectoredRanges scanning a 256-file
+    # frontier at local[32] x 1g. Sequential reads use one small buffered
+    # stream per task instead. Wide heaps keep vectored IO (it overlaps
+    # range reads; on tmpfs the win is small but real).
+    if _driver_heap_hint() < (2 << 30):
+        builder = builder.config(
+            "spark.hadoop.parquet.hadoop.vectored.io.enabled", "false"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
