@@ -507,3 +507,83 @@ class TestCrawlDelay:
         )
         job.run([pages[0]["url"]])
         assert job.metrics.num_caches == 1
+
+
+class TestRequestRate:
+    """robots Request-rate: parse + resolution vs urllib.robotparser, and
+    the folded politeness override."""
+
+    BODIES = {
+        # named entry with a rate; default with another
+        "a.com": "User-agent: testbot\nDisallow: /x\nRequest-rate: 1/7\n\n"
+                 "User-agent: *\nDisallow: /y\nRequest-rate: 1/3\n",
+        # applicable named entry WITHOUT a rate shadows the default's
+        "b.com": "User-agent: testbot\nDisallow: /x\n\n"
+                 "User-agent: *\nRequest-rate: 1/3\nDisallow: /y\n",
+        # malformed rates are ignored (both sides must be digits)
+        "c.com": "User-agent: *\nDisallow: /x\nRequest-rate: 2.5/10\n",
+        "c2.com": "User-agent: *\nDisallow: /x\nRequest-rate: 5\n",
+        # rate-only entry: no rules, still recorded and applicable
+        "d.com": "User-agent: testbot\nRequest-rate: 3/60\n\n"
+                 "User-agent: *\nDisallow: /\n",
+        # both directives in one entry
+        "e.com": "User-agent: *\nDisallow: /x\nCrawl-delay: 4\nRequest-rate: 1/10\n",
+        # multi-request rate: 5 requests per 10 seconds -> spacing 2
+        "f.com": "User-agent: *\nDisallow: /x\nRequest-rate: 5/10\n",
+    }
+
+    def _rfp(self, body):
+        import urllib.robotparser
+
+        rfp = urllib.robotparser.RobotFileParser()
+        rfp.parse(body.splitlines())
+        return rfp
+
+    @pytest.mark.parametrize("agent", ["testbot", "otherbot"])
+    def test_resolution_matches_robotparser(self, spark, agent):
+        from webscraping_spark.operators.robots import delays_table, request_rate_table
+
+        delays = delays_table(spark, self.BODIES)
+        got = {
+            r["domain"]: (r["rate_requests"], r["rate_seconds"])
+            for r in request_rate_table(delays, agent).collect()
+        }
+        want = {}
+        for domain, body in self.BODIES.items():
+            rr = self._rfp(body).request_rate(agent)
+            if rr is not None:
+                want[domain] = (rr.requests, rr.seconds)
+        assert got == want
+
+    def test_politeness_overrides_fold_both_directives(self, spark):
+        from webscraping_spark.operators.robots import delays_table, politeness_overrides
+
+        delays = delays_table(spark, self.BODIES)
+        got = {
+            r["domain"]: r["crawl_delay"]
+            for r in politeness_overrides(delays, "otherbot").collect()
+        }
+        # a: 1/3 -> 3s; b: 1/3 (otherbot gets the default); e: max(4, 10) = 10;
+        # f: 10/5 = 2; c/c2 malformed -> absent; d (otherbot -> default, no pacing)
+        assert got == {
+            "a.com": 3.0, "b.com": 3.0, "e.com": 10.0, "f.com": 2.0,
+        }
+        got_tb = {
+            r["domain"]: r["crawl_delay"]
+            for r in politeness_overrides(delays, "testbot").collect()
+        }
+        # testbot: a -> its own entry 1/7 = 7; b -> shadowed (no pacing);
+        # d -> 60/3 = 20; c/c2/e/f -> default entries apply as for otherbot
+        assert got_tb == {
+            "a.com": 7.0, "d.com": 20.0, "e.com": 10.0, "f.com": 2.0,
+        }
+
+    def test_zero_requests_rate_guarded(self, spark):
+        from webscraping_spark.operators.robots import delays_table, politeness_overrides
+
+        delays = delays_table(
+            spark, {"z.com": "User-agent: *\nDisallow: /x\nRequest-rate: 0/10\n"}
+        )
+        # robotparser records RequestRate(0, 10); spacing is undefined ->
+        # no override row rather than a divide-by-zero
+        assert politeness_overrides(delays, "bot").collect() == []

@@ -38,37 +38,43 @@ ROBOTS_SCHEMA = (
     "order int, entry int"
 )
 
-DELAYS_SCHEMA = "domain string, agent string, entry int, crawl_delay double"
+DELAYS_SCHEMA = (
+    "domain string, agent string, entry int, crawl_delay double, "
+    "rate_requests int, rate_seconds int"
+)
 
 
 def _parse_entries(
     text: str,
-) -> list[tuple[list[str], list[tuple[str, str, int]], int | None]]:
+) -> list[tuple[list[str], list[tuple[str, str, int]], int | None, tuple[int, int] | None]]:
     """urllib.robotparser's ``parse()`` state machine: file-ordered entries
-    as ``(agents, rules, crawl_delay)`` after default folding.
+    as ``(agents, rules, crawl_delay, request_rate)`` after default folding.
 
     Semantics replicated exactly: consecutive ``User-agent`` lines share
-    the following rules; a rule or ``Crawl-delay`` line moves the entry to
-    state 2, and only state-2 entries are recorded (agents with no
-    rules/delay vanish, just like robotparser's EOF check); an entry whose
-    agents include ``*`` becomes the default entry — first one wins, later
-    ``*`` entries are dropped whole; ``Crawl-delay`` accepts only integer
-    values (robotparser's ``isdigit()`` gate — ``2.5`` is ignored); an
-    empty ``Disallow`` value records as allow-all; ``#`` comments and
-    unknown directives are ignored. An entry can be delay-only (zero
-    rules) — robotparser still records it, and an applicable empty entry
-    allows everything AND shadows the default entry.
+    the following rules; a rule, ``Crawl-delay`` or ``Request-rate`` line
+    moves the entry to state 2, and only state-2 entries are recorded
+    (agents with no rules/delay/rate vanish, just like robotparser's EOF
+    check); an entry whose agents include ``*`` becomes the default entry
+    — first one wins, later ``*`` entries are dropped whole; ``Crawl-
+    delay`` accepts only integer values (robotparser's ``isdigit()`` gate
+    — ``2.5`` is ignored); ``Request-rate`` accepts only ``<int>/<int>``
+    (both sides isdigit); an empty ``Disallow`` value records as
+    allow-all; ``#`` comments and unknown directives are ignored. An
+    entry can be directive-only (zero rules) — robotparser still records
+    it, and an applicable empty entry allows everything AND shadows the
+    default entry.
     """
-    entries: list[tuple[list[str], list[tuple[str, str, int]], int | None]] = []
+    entries: list = []
     have_default = False
     agents: list[str] = []
     rules: list[tuple[str, str, int]] = []
     delay: int | None = None
-    state = 0  # 0 = start, 1 = agents seen, 2 = rules/delay seen
+    req_rate: tuple[int, int] | None = None
+    state = 0  # 0 = start, 1 = agents seen, 2 = rules/directives seen
     order = 0
 
     def add() -> None:
-        nonlocal agents, rules, delay, have_default
+        nonlocal agents, rules, delay, req_rate, have_default
         if agents:
             if "*" in agents:
                 # robotparser._add_entry: the whole entry becomes the
@@ -76,10 +82,10 @@ def _parse_entries(
                 # first '*' entry wins; later ones are dropped.
                 if not have_default:
                     have_default = True
-                    entries.append((["*"], rules, delay))
+                    entries.append((["*"], rules, delay, req_rate))
             else:
-                entries.append((agents, rules, delay))
-        agents, rules, delay = [], [], None
+                entries.append((agents, rules, delay, req_rate))
+        agents, rules, delay, req_rate = [], [], None, None
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -108,6 +114,17 @@ def _parse_entries(
             if value.isdigit():
                 delay = int(value)
             state = 2
+        elif key == "request-rate":
+            if state == 0:
+                continue
+            numbers = value.split("/")
+            if (
+                len(numbers) == 2
+                and numbers[0].strip().isdigit()
+                and numbers[1].strip().isdigit()
+            ):
+                req_rate = (int(numbers[0]), int(numbers[1]))
+            state = 2
     if state == 2:
         add()
     return entries
@@ -125,7 +142,7 @@ def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, i
     that shadows the default entry.
     """
     rows: list[tuple[str, str, str, str, int, int]] = []
-    for entry_idx, (agents, rules, _delay) in enumerate(_parse_entries(text)):
+    for entry_idx, (agents, rules, _delay, _rate) in enumerate(_parse_entries(text)):
         for agent in agents:
             if rules:
                 for rule, prefix, o in rules:
@@ -135,13 +152,21 @@ def parse_robots_txt(domain: str, text: str) -> list[tuple[str, str, str, str, i
     return rows
 
 
-def parse_robots_delays(domain: str, text: str) -> list[tuple[str, str, int, float | None]]:
+def parse_robots_delays(domain: str, text: str) -> list[tuple]:
     """DELAYS_SCHEMA rows: one per (entry, agent) with the entry's
-    Crawl-delay (None when the entry has none — such rows still matter:
-    a delay-less applicable entry shadows the default entry's delay)."""
+    Crawl-delay and Request-rate (None when the entry lacks them — such
+    rows still matter: a directive-less applicable entry shadows the
+    default entry's delay AND rate)."""
     return [
-        (domain, agent, entry_idx, float(delay) if delay is not None else None)
-        for entry_idx, (agents, _rules, delay) in enumerate(_parse_entries(text))
+        (
+            domain,
+            agent,
+            entry_idx,
+            float(delay) if delay is not None else None,
+            rate[0] if rate is not None else None,
+            rate[1] if rate is not None else None,
+        )
+        for entry_idx, (agents, _rules, delay, rate) in enumerate(_parse_entries(text))
         for agent in agents
     ]
 
@@ -164,17 +189,19 @@ def delays_table(spark, per_domain_texts: dict[str, str]):
     return spark.createDataFrame(rows, DELAYS_SCHEMA)
 
 
-def crawl_delay_table(delays: DataFrame, user_agent: str) -> DataFrame:
-    """Resolve ``urllib.robotparser.crawl_delay`` per domain: one
-    ``(domain, crawl_delay)`` row per domain that resolves to a delay.
+_DIRECTIVE_COLS = ["crawl_delay", "rate_requests", "rate_seconds"]
+
+
+def _resolve_directives(delays: DataFrame, user_agent: str) -> DataFrame:
+    """Resolve the applicable entry's directives per domain: one
+    ``(domain, crawl_delay, rate_requests, rate_seconds)`` row per domain
+    that has any applicable entry (fields null when the entry lacks them).
 
     Entry selection is can_fetch's: the FIRST applicable named entry
-    (substring agent match, file order) decides — returning ITS delay even
-    when it has none, so a delay-less applicable entry yields no row and
-    shadows the default; only domains with no applicable named entry fall
-    through to the ``*`` entry's delay. All operands are rule-table-sized;
-    the result broadcasts into :func:`webscraping_spark.operators.
-    politeness.plan_schedule` as its ``domain_delays`` input.
+    (substring agent match, file order) decides — returning ITS directives
+    even when absent, so a directive-less applicable entry shadows the
+    default; only domains with no applicable named entry fall through to
+    the ``*`` entry. All operands are rule-table-sized.
     """
     ua_token = user_agent.split("/")[0].lower()
     named = delays.filter(
@@ -185,15 +212,60 @@ def crawl_delay_table(delays: DataFrame, user_agent: str) -> DataFrame:
     named = (
         named.join(first_entry, "domain")
         .filter(F.col("entry") == F.col("_win"))
-        # one entry may list several matching agent tokens; the delay is
-        # an entry property, so the rows are duplicates
-        .select("domain", "crawl_delay")
+        # one entry may list several matching agent tokens; directives are
+        # entry properties, so the rows are duplicates
+        .select("domain", *_DIRECTIVE_COLS)
         .distinct()
     )
     star = delays.filter(F.col("agent") == "*").join(
         named.select("domain").distinct(), "domain", "left_anti"
-    ).select("domain", "crawl_delay")
-    return named.unionByName(star).filter(F.col("crawl_delay").isNotNull())
+    ).select("domain", *_DIRECTIVE_COLS)
+    return named.unionByName(star)
+
+
+def crawl_delay_table(delays: DataFrame, user_agent: str) -> DataFrame:
+    """``urllib.robotparser.crawl_delay`` per domain: one
+    ``(domain, crawl_delay)`` row per domain that resolves to a delay.
+    Feeds :func:`webscraping_spark.operators.politeness.plan_schedule`
+    as its ``domain_delays`` input (broadcast-sized)."""
+    return _resolve_directives(delays, user_agent).select(
+        "domain", "crawl_delay"
+    ).filter(F.col("crawl_delay").isNotNull())
+
+
+def request_rate_table(delays: DataFrame, user_agent: str) -> DataFrame:
+    """``urllib.robotparser.request_rate`` per domain: one
+    ``(domain, rate_requests, rate_seconds)`` row per domain that
+    resolves to a rate."""
+    return _resolve_directives(delays, user_agent).select(
+        "domain", "rate_requests", "rate_seconds"
+    ).filter(F.col("rate_requests").isNotNull())
+
+
+def politeness_overrides(delays: DataFrame, user_agent: str) -> DataFrame:
+    """One ``(domain, crawl_delay)`` row per domain folding BOTH robots
+    pacing directives into the single per-domain spacing the politeness
+    planner consumes: max(Crawl-delay, Request-rate seconds/requests) of
+    the applicable entry. A rate of n requests per s seconds is the mean
+    spacing s/n — the planner's running-sum schedule enforces mean
+    spacing, so the two directives fold onto one axis."""
+    r = _resolve_directives(delays, user_agent)
+    spacing = F.greatest(
+        F.coalesce(F.col("crawl_delay"), F.lit(0.0)),
+        F.coalesce(
+            # guard the ANSI divide: robotparser accepts '0/10'
+            F.when(
+                F.col("rate_requests") > 0,
+                F.col("rate_seconds").cast("double")
+                / F.col("rate_requests").cast("double"),
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        r.select("domain", spacing.alias("crawl_delay"))
+        .filter(F.col("crawl_delay") > 0.0)
+    )
 
 
 def robots_gate(
