@@ -887,6 +887,21 @@ def q_temperature_mix(spark, sf_dir):
     return domain_mix(docs, "lang", rates, "doc_id").select("doc_id", "lang")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py, Wenzek et al.
+    2020): fit an add-one bigram LM on the documents corpus, score every
+    doc's perplexity under it. Per-position log probs are quantized to
+    1e-6 fixed point BEFORE the per-doc sum, so the sum is an integer sum
+    — order-independent under any shuffle and bit-identical across
+    engines. The oracle re-derives the whole pipeline in DuckDB: unigram/
+    bigram counts, V, the smoothed per-pair log probs, the fixed-point
+    sums and the rounded perplexities."""
+    from webscraping_spark.operators.lm import fit_bigram_lm, perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity(docs, fit_bigram_lm(docs))
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1249,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
         "temperature_mix": q_temperature_mix,
+        "lm_perplexity": q_lm_perplexity,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1746,6 +1762,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':m42'),
                                   1, 8))::UBIGINT
                   < CAST(round(r.rate * 4294967296.0) AS BIGINT)
+        """,
+        "lm_perplexity": """
+            -- full re-derivation of the bigram-LM perplexity: counts, V,
+            -- smoothed per-pair log probs quantized to 1e-6 fixed point
+            -- (integer sums are order-independent), rounded perplexity
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS tk
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+                FROM toks, unnest(range(1, len(tk))) AS u(i)
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+            ), v AS (
+                SELECT count(*) AS vs FROM uni
+            ), scored AS (
+                SELECT p.doc_id,
+                       CAST(round(ln((coalesce(bi.c12, 0) + 1.0)
+                                     / (coalesce(uni.c1, 0) + 1.0 * v.vs))
+                                  * 1e6) AS BIGINT) AS lp
+                FROM pairs p
+                LEFT JOIN bi USING (w1, w2)
+                LEFT JOIN uni ON uni.w = p.w1
+                CROSS JOIN v
+            ), per_doc AS (
+                SELECT doc_id, sum(lp) AS lps, count(*) AS n
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n, 0) AS INT) AS n_bigrams,
+                   CASE WHEN coalesce(p.n, 0) > 0
+                        THEN round(exp(-(p.lps / 1e6) / p.n), 6)
+                   END AS ppl
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
         """,
         "minhash_sig_parity": """
             -- violation set: docs where the streaming row-local MinHash
