@@ -902,6 +902,41 @@ def q_lm_perplexity(spark, sf_dir):
     return perplexity(docs, fit_bigram_lm(docs))
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """The canonical curation pipeline COMPOSED as one plan: Gopher
+    quality gate (codegen projection, fuses into the scan) -> exact dedup
+    keep-first (one groupBy shuffle on the content hash) -> deterministic
+    salted-hash train/val/test split (pure map). Docs with doc_id % 7 == 3
+    are rewritten to one shared boilerplate page (which passes the gate),
+    so the dedup stage genuinely collapses a group — the survivors are the
+    min-doc_id representative plus every distinct-text doc that passes the
+    gate. Output: (doc_id, split) for the curated set. The oracle
+    re-derives all three stages in DuckDB on the same planted corpus."""
+    from webscraping_spark.operators.dedup import exact_dedup
+    from webscraping_spark.operators.sampling import hash_split
+    from webscraping_spark.operators.textstats import gopher_filter
+
+    BOILER = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "with more of the same words here"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(BOILER))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    gated = docs.join(
+        gopher_filter(docs, min_tokens=10, min_stop_hits=1)
+        .filter("keep")
+        .select("doc_id"),
+        "doc_id",
+    )
+    reps = exact_dedup(gated).select(F.col("rep_id").alias("doc_id"))
+    survivors = gated.join(reps, "doc_id").select("doc_id")
+    return hash_split(survivors, "doc_id").select("doc_id", "split")
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1265,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "temperature_mix": q_temperature_mix,
         "lm_perplexity": q_lm_perplexity,
+        "curate_pipeline": q_curate_pipeline,
         "audio_tone_features": q_audio_tone_features,
         "video_frame_sample": q_video_frame_sample,
         "hash_split_docs": q_hash_split_docs,
@@ -1803,6 +1839,80 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(exp(-(p.lps / 1e6) / p.n), 6)
                    END AS ppl
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "curate_pipeline": """
+            -- composed re-derivation: plant the boilerplate, run the full
+            -- Gopher gate (same thresholds as gopher_filter's oracle),
+            -- keep-first exact dedup on md5(text), salted-md5 hash split
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3
+                            THEN 'the quick brown fox jumps over the lazy '
+                                 || 'dog again and again with more of the '
+                                 || 'same words here'
+                            ELSE text END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id, text, trim(text) AS t,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM planted
+            ), sig AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round(list_sum(list_transform(toks, x -> len(x)))
+                             / greatest(len(toks), 1), 6) AS mean_word_len,
+                       round(((len(t) - len(replace(t, '#', '')))
+                              + (len(t) - len(replace(t, '...', ''))) / 3)
+                             / greatest(len(toks), 1), 6) AS symbol_ratio,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       round(len(list_filter(toks,
+                                 x -> regexp_matches(x, '[A-Za-z]')))
+                             / greatest(len(toks), 1), 6) AS alpha_word_frac,
+                       len(list_filter(['the','be','to','of','and','that',
+                                        'have','with'],
+                           w -> list_contains(list_transform(toks,
+                                x -> lower(x)), w))) AS n_stop_hits
+                FROM base
+            ), gop AS (
+                SELECT doc_id,
+                       (n_tokens >= 10 AND n_tokens <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_ratio <= 0.1
+                        AND round(len(list_filter(lines,
+                                  x -> starts_with(x, '•')
+                                    OR starts_with(x, '-')
+                                    OR starts_with(x, '*')))
+                              / greatest(len(lines), 1), 6) <= 0.9
+                        AND round(len(list_filter(lines,
+                                  x -> ends_with(x, '...')
+                                    OR ends_with(x, '…')))
+                              / greatest(len(lines), 1), 6) <= 0.3
+                        AND alpha_word_frac >= 0.8
+                        AND n_stop_hits >= 1) AS keep
+                FROM sig
+            ), keeps AS (
+                SELECT p.doc_id, p.text
+                FROM planted p JOIN gop USING (doc_id)
+                WHERE gop.keep
+            ), reps AS (
+                SELECT min(doc_id) AS doc_id FROM keeps GROUP BY md5(text)
+            )
+            SELECT doc_id,
+                   CASE WHEN b < CAST(round(0.9 * 4294967296.0) AS BIGINT)
+                             THEN 'train'
+                        WHEN b < CAST(round(0.95 * 4294967296.0) AS BIGINT)
+                             THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':s42'),
+                                       1, 8))::UBIGINT AS b
+                FROM reps
+            )
         """,
         "minhash_sig_parity": """
             -- violation set: docs where the streaming row-local MinHash
