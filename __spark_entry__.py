@@ -532,6 +532,38 @@ def q_ann_topk_subset(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-ANN violation set (hard oracle: EMPTY). Twelve scaled copies of
+    vec 0 are planted (scaling preserves cosine exactly, so they tie the
+    query at 1.0 and dominate the exact top-k), the IVF quantizer is
+    fitted distributively, and the query probes nprobe cells. Violations:
+    any returned id outside the independently-computed exact top-50 ball,
+    or the query's own id missing (its cell is by construction the
+    query's top-1 probe, so losing it means the cell routing broke)."""
+    from webscraping_spark.operators.similarity import cosine_topk, ivf_fit, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planted = emb.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.array(*[F.lit(float(x)) for x in qvec]),
+            lambda x: (x * (F.lit(0.5) + F.col("vec_id") / 100.0)).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = ivf_fit(corpus, n_centroids=8, n_iters=4)
+    approx = ivf_topk(corpus, list(qvec), cents, k=10, nprobe=3)
+    exact_ball = cosine_topk(corpus, list(qvec), k=50)
+    outside = approx.select("vec_id").join(
+        exact_ball.select("vec_id"), "vec_id", "left_anti"
+    )
+    self_missing = spark.range(1).select(
+        F.lit(0).cast("long").alias("vec_id")
+    ).join(approx.select("vec_id"), "vec_id", "left_anti")
+    return outside.unionByName(self_missing)
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint with a FULL re-derivation oracle:
     the DuckDB SQL recomputes the winnowing min over 8-byte polynomial
@@ -1284,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -2396,6 +2429,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": """
             -- violation set: ann ids outside the exact cosine top-50 ball,
             -- or the query vector's own id missing — must be empty
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "ivf_topk": """
+            -- violation set: IVF-ANN ids outside the exact cosine top-50
+            -- ball (planted scaled copies of vec 0 dominate it), or the
+            -- query's own id missing from the results — must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
         "fingerprint": """

@@ -810,3 +810,73 @@ class TestC4Clean:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "ArrowEval" not in plan
+
+
+class TestIVF:
+    """similarity.ivf_* — the FAISS-IVF-style coarse-quantized ANN path."""
+
+    def make_clustered(self, spark, n_clusters=6, per=40, d=16, seed=9):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_clusters, d)) * 4.0
+        vecs = np.vstack(
+            [c + rng.standard_normal((per, d)) * 0.3 for c in centers]
+        ).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            vecs,
+        )
+
+    def test_fit_deterministic_and_unit_norm(self, spark):
+        emb, _ = self.make_clustered(spark)
+        c1 = similarity.ivf_fit(emb, n_centroids=6, n_iters=4)
+        c2 = similarity.ivf_fit(emb.repartition(7), n_centroids=6, n_iters=4)
+        assert np.allclose(c1, c2, atol=1e-9)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+    def test_assign_matches_numpy(self, spark):
+        emb, vecs = self.make_clustered(spark)
+        cents = similarity.ivf_fit(emb, n_centroids=6, n_iters=4)
+        got = {
+            r["vec_id"]: r["centroid"]
+            for r in similarity.ivf_assign(emb, cents).collect()
+        }
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        want = np.argmax(unit @ cents.T, axis=1)
+        assert got == {i: int(want[i]) for i in range(len(vecs))}
+        assert len(got) == len(vecs)
+
+    def test_kmeans_recovers_planted_clusters(self, spark):
+        emb, vecs = self.make_clustered(spark, n_clusters=6, per=40)
+        cents = similarity.ivf_fit(emb, n_centroids=6, n_iters=8)
+        assign = {
+            r["vec_id"]: r["centroid"]
+            for r in similarity.ivf_assign(emb, cents).collect()
+        }
+        # every planted cluster should land (almost) wholly in one cell
+        pure = 0
+        for c in range(6):
+            ids = range(c * 40, (c + 1) * 40)
+            from collections import Counter
+
+            top = Counter(assign[i] for i in ids).most_common(1)[0][1]
+            pure += top
+        assert pure >= 0.95 * len(vecs)
+
+    def test_ivf_topk_recall(self, spark):
+        emb, vecs = self.make_clustered(spark)
+        q = vecs[7]  # inside planted cluster 0
+        cents = similarity.ivf_fit(emb, n_centroids=6, n_iters=6)
+        exact = {
+            r["vec_id"] for r in similarity.cosine_topk(emb, list(q), k=10).collect()
+        }
+        got_rows = similarity.ivf_topk(emb, list(q), cents, k=10, nprobe=2).collect()
+        got = {r["vec_id"] for r in got_rows}
+        assert len(got_rows) == 10
+        assert 7 in got  # self-hit: the query's own cell is always probed
+        assert len(exact & got) / len(exact) >= 0.9
+
+    def test_empty_corpus_raises(self, spark):
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            similarity.ivf_fit(emb, n_centroids=4)

@@ -166,3 +166,132 @@ def ann_topk(
         "left_semi",
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: spherical k-means coarse quantizer + probed
+# centroid lists — the FAISS-IVF scale path, as DataFrame ops
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, fitted distributively.
+
+    Init: the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` — a deterministic "random" sample (same
+    centroids on every run, partitioning and cluster size; ``rand()``
+    would refit a different quantizer per run). Each Lloyd iteration is
+    ONE mapInPandas pass: a (batch x dim) @ (dim x c) gemm assigns every
+    vector to its max-cosine centroid and emits PER-BATCH partial sums
+    (centroid, count, sum-vector) — at most ``c`` skinny rows per batch,
+    so the driver collect is bounded by partitions x c, never corpus
+    size. Means are renormalized to the unit sphere (spherical k-means:
+    cosine assignment needs unit centroids). Returns the (c x dim)
+    float64 centroid matrix.
+    """
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("cannot fit IVF on an empty corpus")
+    cents = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    out_schema = "centroid int, cnt long, vecsum array<double>"
+    for _ in range(n_iters):
+        planes = cents.T  # (dim, c)
+
+        def partial(batches, planes=planes):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax((mat / norms) @ planes, axis=1)
+                rows = []
+                for c in np.unique(assign):
+                    sel = mat[assign == c]
+                    rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["centroid", "cnt", "vecsum"])
+
+        partials = (
+            embeddings.select(vec_col).mapInPandas(partial, out_schema).collect()
+        )
+        new = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in partials:
+            new[r["centroid"]] += np.asarray(r["vecsum"], dtype=np.float64)
+            counts[r["centroid"]] += r["cnt"]
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        new[~nonempty] = cents[~nonempty]  # empty cluster keeps its centroid
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new / norms
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid): each vector's max-cosine coarse cell — one gemm
+    scan. At rest, write the corpus partitioned by ``centroid`` so a
+    query's nprobe cells prune to nprobe partitions (the IVF inverted
+    lists), instead of scanning the corpus."""
+    planes = centroids.T
+    out_schema = f"{id_col} long, centroid int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid": np.argmax((mat / norms) @ planes, axis=1).astype(
+                        np.int32
+                    ),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank the query against the centroid table
+    (driver-side — c rows), probe the ``nprobe`` nearest cells, exact
+    cosine inside the probed candidate set only. Complements the LSH
+    variant (``ann_topk``): IVF adapts its cells to the data distribution
+    where hyperplane buckets are data-oblivious."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[: max(nprobe, 1)].tolist()
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    candidates = embeddings.join(
+        assigned.filter(F.col("centroid").isin(probes)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
