@@ -564,6 +564,83 @@ def q_ivf_topk(spark, sf_dir):
     return outside.unionByName(self_missing)
 
 
+def q_pagerank_links(spark, sf_dir):
+    """Distributed PageRank (operators/graph.py) over a deterministic
+    synthetic link graph built from doc ids (two modular edges per doc
+    plus a hub edge to node 0 for every tenth doc — identical construction
+    in the SQL oracle). Ranks are 64-bit integer micro-units with pure
+    integer update arithmetic, so four iterations are bit-exactly
+    reproducible: the oracle unrolls the same four iterations in chained
+    CTEs with DuckDB's integer floor division."""
+    from webscraping_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 2) % n).alias("dst"))
+    e3 = docs.filter(d % 10 == 0).select(
+        d.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    return pagerank(edges, n_iters=4).select("node", "rank_micro")
+
+
+def _pagerank_oracle(n_iters: int = 4, damping: int = 85) -> str:
+    """Unroll the exact integer PageRank recurrence as chained CTEs —
+    same edge construction, same floor divisions as q_pagerank_links."""
+    scale = 1_000_000_000_000
+    head = f"""
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % cnt.n AS dst
+            FROM documents CROSS JOIN cnt
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % cnt.n
+            FROM documents CROSS JOIN cnt
+            UNION ALL
+            SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ),
+        outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        r0 AS (
+            SELECT node, {scale} // cnt.n AS rank_micro
+            FROM nodes CROSS JOIN cnt
+        )"""
+    its = []
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        its.append(f"""
+        , r{i} AS (
+            SELECT n.node,
+                   ((100 - {damping}) * {scale}) // (100 * cnt.n)
+                   + ({damping} * (
+                         SELECT coalesce(sum(rank_micro), 0) FROM r{p}
+                         WHERE node NOT IN (SELECT src FROM outdeg)
+                     )) // (100 * cnt.n)
+                   + coalesce(c.in_mass, 0) AS rank_micro
+            FROM nodes n CROSS JOIN cnt
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum(({damping} * r.rank_micro) // (100 * od.od))
+                           AS in_mass
+                FROM r{p} r
+                JOIN outdeg od ON od.src = r.node
+                JOIN edges e ON e.src = r.node
+                GROUP BY e.dst
+            ) c USING (node)
+        )""")
+    tail = f"""
+        SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+        FROM r{n_iters}
+    """
+    return head + "".join(its) + tail
+
+
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint with a FULL re-derivation oracle:
     the DuckDB SQL recomputes the winnowing min over 8-byte polynomial
@@ -1317,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "pagerank_links": q_pagerank_links,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -2437,6 +2515,7 @@ def oracle_sql() -> dict[str, str]:
             -- query's own id missing from the results — must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
+        "pagerank_links": _pagerank_oracle(),
         "fingerprint": """
             -- full re-derivation of the winnowing fingerprint: min over
             -- 8-byte windows of the FNV-prime polynomial rolling hash of
