@@ -1046,6 +1046,24 @@ def q_curate_pipeline(spark, sf_dir):
     return hash_split(survivors, "doc_id").select("doc_id", "split")
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (operators/search.py): fit the inverted index on
+    the documents corpus, return the top-50 docs for the mixed-idf query
+    'dup key batch' ('dup' is rare at df=25, the others are near-stopword
+    at df~380 — the idf spread is what the ranking exercises). The only
+    libm call (ln in the idf) is quantized to 1e-6 fixed point per
+    DISTINCT term; per-posting contributions are quantized to 1e-6 LONGs
+    before the per-doc integer sum, so scores are bit-identical across
+    engines and the k-set (tie-broken by doc_id) is deterministic. The
+    oracle re-derives the whole pipeline in DuckDB: postings, df, dl,
+    avgdl, the fixed-point idf and contributions, the integer sums and
+    the ordered LIMIT."""
+    from webscraping_spark.operators.search import bm25_fit, bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(bm25_fit(docs), "dup key batch", k=50)
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1421,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "decontam_flags": q_decontam_flags,
         "pii_redaction": q_pii_redaction,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2561,5 +2580,54 @@ def oracle_sql() -> dict[str, str]:
             -- flags (pixels/psnr/phash/caption): n_verified == n_images
             SELECT count(*) AS n_images, count(*) AS n_verified
             FROM documents WHERE doc_id < 64
+        """,
+        "bm25_topk": """
+            -- full BM25 re-derivation: postings/df/dl/avgdl, the Lucene
+            -- idf quantized to 1e-6 fixed point per term, per-posting
+            -- contributions quantized before the per-doc integer sum,
+            -- top-50 under (score DESC, doc_id) — a total order, so the
+            -- k-set matches Spark's TakeOrderedAndProject exactly
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS tk
+                FROM documents
+            ), stats AS (
+                SELECT count(*) AS n,
+                       CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl
+                FROM toks
+            ), posts AS (
+                SELECT doc_id, w AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+                WHERE w IN ('batch', 'dup', 'key')
+                GROUP BY doc_id, w
+            ), dfs AS (
+                SELECT term,
+                       CAST(round(ln(1.0 + (s.n - count(*) + 0.5)
+                                          / (count(*) + 0.5)) * 1e6)
+                            AS BIGINT) AS idf_fixed
+                FROM posts CROSS JOIN stats s GROUP BY term, s.n
+            ), dls AS (
+                SELECT doc_id, len(tk) AS dl FROM toks
+            ), contrib AS (
+                SELECT p.doc_id,
+                       CAST(round((d.idf_fixed / 1e6)
+                                  * (p.tf * (1.2 + 1.0)
+                                     / (p.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * (l.dl / s.avgdl))))
+                                  * 1e6) AS BIGINT) AS c
+                FROM posts p
+                JOIN dfs d USING (term)
+                JOIN dls l USING (doc_id)
+                CROSS JOIN stats s
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_terms_hit,
+                   round(sum(c) / 1e6, 6) AS score
+            FROM contrib GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 50
         """,
     }
