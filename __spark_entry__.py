@@ -1064,6 +1064,34 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(bm25_fit(docs), "dup key batch", k=50)
 
 
+def q_url_quality(spark, sf_dir):
+    """RefinedWeb-style URL quality gate (operators/urlfilter.py): eight
+    deterministic URL classes planted from doc_id modular arithmetic —
+    clean, badword, IP-host, long+digit-heavy, 9-param, hyphen-spam-host,
+    deep-path, uppercase-clean — so every rule fires on real rows and
+    both keep branches are exercised. One whole-stage-codegen projection,
+    zero shuffle, zero Python; the only float is one exactly-rounded IEEE
+    division. The oracle re-plants the same URLs and re-derives every
+    signal and the keep flag with the identical regex pattern strings."""
+    from webscraping_spark.operators.urlfilter import url_quality_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    cls = d % 8
+    url = (
+        F.when(cls == 0, F.concat(F.lit("http://www.site"), ds, F.lit(".com/a/b/page.html")))
+        .when(cls == 1, F.concat(F.lit("http://www.xxxcasino"), ds, F.lit(".com/x")))
+        .when(cls == 2, F.concat(F.lit("http://192.168."), (d % 256).cast("string"), F.lit(".7/p")))
+        .when(cls == 3, F.concat(F.lit("http://www.s.com/"), F.repeat((d % 10).cast("string"), 600)))
+        .when(cls == 4, F.concat(F.lit("http://www.s.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i="), ds))
+        .when(cls == 5, F.concat(F.lit("http://cheap-deals-best-buy-now-free-"), ds, F.lit(".com/")))
+        .when(cls == 6, F.concat(F.lit("http://d.com"), F.repeat(F.lit("/seg"), 13)))
+        .otherwise(F.concat(F.lit("HTTP://WWW.UP"), ds, F.lit(".COM/OK?X=1")))
+    )
+    return url_quality_gate(docs.select("doc_id", url.alias("url")))
+
+
 def q_minhash_sig_parity(spark, sf_dir):
     """Violation set for the streaming/batch MinHash contract: docs whose
     row-local signature (dedup.minhash_signature_col — what the streaming
@@ -1440,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": q_decontam_flags,
         "pii_redaction": q_pii_redaction,
         "bm25_topk": q_bm25_topk,
+        "url_quality": q_url_quality,
     }
 
 
@@ -2580,6 +2609,69 @@ def oracle_sql() -> dict[str, str]:
             -- flags (pixels/psnr/phash/caption): n_verified == n_images
             SELECT count(*) AS n_images, count(*) AS n_verified
             FROM documents WHERE doc_id < 64
+        """,
+        "url_quality": """
+            -- re-plant the eight URL classes and re-derive every signal
+            -- with the identical regex pattern strings (Java/RE2 shared
+            -- subset); keep is the same ANDed default thresholds
+            WITH urls AS (
+                SELECT doc_id,
+                       CASE doc_id % 8
+                           WHEN 0 THEN 'http://www.site' || doc_id
+                                       || '.com/a/b/page.html'
+                           WHEN 1 THEN 'http://www.xxxcasino' || doc_id
+                                       || '.com/x'
+                           WHEN 2 THEN 'http://192.168.' || (doc_id % 256)
+                                       || '.7/p'
+                           WHEN 3 THEN 'http://www.s.com/'
+                                       || repeat(CAST(doc_id % 10 AS VARCHAR),
+                                                 600)
+                           WHEN 4 THEN 'http://www.s.com/p?a=1&b=2&c=3&d=4'
+                                       || '&e=5&f=6&g=7&h=8&i=' || doc_id
+                           WHEN 5 THEN 'http://cheap-deals-best-buy-now-free-'
+                                       || doc_id || '.com/'
+                           WHEN 6 THEN 'http://d.com' || repeat('/seg', 13)
+                           ELSE 'HTTP://WWW.UP' || doc_id || '.COM/OK?X=1'
+                       END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url, lower(url) AS u,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                       regexp_extract(lower(url), '\\?([^#]*)', 1) AS q
+                FROM urls
+            ), sig AS (
+                SELECT doc_id, url,
+                       CAST(len(u) AS INT) AS url_len,
+                       round(CAST(len(u) - len(regexp_replace(u, '[0-9]',
+                                                              '', 'g'))
+                                  AS DOUBLE)
+                             / CAST(greatest(len(u), 1) AS DOUBLE),
+                             6) AS digit_frac,
+                       CAST(CASE WHEN q = '' THEN 0
+                                 ELSE len(q) - len(replace(q, '&', '')) + 1
+                            END AS INT) AS n_params,
+                       CAST(len(pth) - len(replace(pth, '/', ''))
+                            AS INT) AS path_depth,
+                       CAST(len(regexp_extract_all(u,
+                           '(porn|xxx|casino|viagra|gambling|escort)', 1))
+                            AS INT) AS badword_hits,
+                       CAST(CASE WHEN regexp_matches(host,
+                           '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')
+                                 THEN 1 ELSE 0 END AS INT) AS is_ip_host,
+                       CAST(len(host) - len(replace(host, '-', ''))
+                            AS INT) AS host_hyphens
+                FROM parts
+            )
+            SELECT *,
+                   CAST(CASE WHEN url_len <= 512 AND digit_frac <= 0.5
+                              AND n_params <= 8 AND path_depth <= 12
+                              AND badword_hits = 0 AND is_ip_host = 0
+                              AND host_hyphens <= 4
+                             THEN 1 ELSE 0 END AS INT) AS keep
+            FROM sig
         """,
         "bm25_topk": """
             -- full BM25 re-derivation: postings/df/dl/avgdl, the Lucene

@@ -1,0 +1,117 @@
+"""URL-level quality gating for the frontier (the RefinedWeb §3.1 /
+UT1-blocklist idea): score every candidate URL on cheap lexical signals
+and drop spam/adult/machine-generated link shapes BEFORE fetch — at a
+10^10-URL frontier the cheapest byte is the one never downloaded.
+
+Reference tie-in: the reference's link gate (download.py:1010-1031)
+filters on scheme + media extension + same-domain only; this is the
+corpus-curation extension of that gate, in the same position in the
+crawl plan (between link extraction and the frontier push).
+
+Everything is one whole-stage-codegen projection — zero shuffle, zero
+Python — so at scale the gate fuses into the link-extraction stage that
+already holds the URL. All patterns live in the Java-regex/RE2 shared
+syntax subset (the pii_redaction convention) so an oracle can run the
+identical pattern strings, and the one float (digit fraction) is a
+single exactly-rounded IEEE division rounded to 6 decimals — engine-
+reproducible with no libm calls anywhere.
+
+Signals (each a column, so downstream policies can re-weight instead of
+re-parse):
+
+- ``url_len`` — total length; machine-generated/tracking URLs run long.
+- ``digit_frac`` — digit share of the URL; session-id/hash-shaped URLs.
+- ``n_params`` — query-parameter count; deep tracking query strings.
+- ``path_depth`` — '/'-segments in the path; calendar/faceted traps.
+- ``badword_hits`` — substring hits from a small adult/gambling list
+  (the UT1-style blocklist seam: swap in the full list via ``words``).
+- ``is_ip_host`` — dotted-quad host (rarely curated content).
+- ``host_hyphens`` — hyphen count in the host; spam domains chain them.
+
+``keep`` ANDs the default thresholds; every threshold is a kwarg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately small demo list — the production seam is the full UT1
+# blocklist loaded into the same tuple. Substring matching (not word
+# boundaries) is the RefinedWeb convention for URLs.
+DEFAULT_BADWORDS = ("porn", "xxx", "casino", "viagra", "gambling", "escort")
+
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+
+
+def _count_char(s: Column, ch: str) -> Column:
+    # literal replace (not regex) — mirrors SQL replace() exactly
+    return F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))
+
+
+def url_quality_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    words: tuple[str, ...] = DEFAULT_BADWORDS,
+) -> DataFrame:
+    """Append the seven signal columns. Pure projection: no shuffle, no
+    Python, fuses into whatever stage already scans ``url_col``."""
+    u = F.lower(F.col(url_col))
+    host = F.regexp_extract(u, _HOST_RE, 1)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    digits = F.length(u) - F.length(F.regexp_replace(u, "[0-9]", ""))
+    bad = "(" + "|".join(words) + ")"
+    return df.select(
+        "*",
+        F.length(u).cast("int").alias("url_len"),
+        F.round(
+            digits.cast("double") / F.greatest(F.length(u), F.lit(1)).cast("double"),
+            6,
+        ).alias("digit_frac"),
+        F.when(query == "", F.lit(0))
+        .otherwise(_count_char(query, "&") + 1)
+        .cast("int")
+        .alias("n_params"),
+        _count_char(path, "/").cast("int").alias("path_depth"),
+        F.size(F.regexp_extract_all(u, F.lit(bad), F.lit(1))).cast("int").alias(
+            "badword_hits"
+        ),
+        F.when(
+            host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_ip_host"),
+        _count_char(host, "-").cast("int").alias("host_hyphens"),
+    )
+
+
+def url_quality_gate(
+    df: DataFrame,
+    url_col: str = "url",
+    words: tuple[str, ...] = DEFAULT_BADWORDS,
+    max_len: int = 512,
+    max_digit_frac: float = 0.5,
+    max_params: int = 8,
+    max_path_depth: int = 12,
+    max_host_hyphens: int = 4,
+) -> DataFrame:
+    """Signals plus the ANDed ``keep`` flag (1/0 INT — the oracle-stable
+    convention). Thresholds follow RefinedWeb's spirit, not its exact
+    values (those are corpus-tuned); every one is a kwarg."""
+    sig = url_quality_signals(df, url_col=url_col, words=words)
+    keep = (
+        (F.col("url_len") <= max_len)
+        & (F.col("digit_frac") <= max_digit_frac)
+        & (F.col("n_params") <= max_params)
+        & (F.col("path_depth") <= max_path_depth)
+        & (F.col("badword_hits") == 0)
+        & (F.col("is_ip_host") == 0)
+        & (F.col("host_hyphens") <= max_host_hyphens)
+    )
+    return sig.select(
+        "*", F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep")
+    )
