@@ -457,3 +457,64 @@ class TestRetrySemantics:
         assert not any(u.endswith("/child") for u in got)  # never succeeded
         assert job.metrics.num_downloads == exp.num_downloads == 1  # seed only
         assert job.metrics.num_errors == exp.num_errors == 4  # flaky 2 + dead 2
+
+
+class TestUrlQualityConfig:
+    """Opt-in RefinedWeb URL gate folded into the link-validity chain
+    (CrawlConfig.url_quality) — spam link shapes never reach the frontier."""
+
+    def _site(self):
+        root = "http://quality.com/root"
+        clean = "http://quality.com/articles/spark"
+        spam = "http://quality.com/casino-bonus"
+        longp = "http://quality.com/a?" + "&".join(f"k{i}=v" for i in range(12))
+        return (
+            [
+                synth.make_page(root, [clean, spam, longp]),
+                synth.make_page(clean, []),
+                synth.make_page(spam, []),
+                synth.make_page(longp, []),
+            ],
+            root,
+            clean,
+            spam,
+            longp,
+        )
+
+    def test_gate_drops_spam_links_from_frontier(self, spark):
+        pages, root, clean, spam, longp = self._site()
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, url_quality=True),
+        )
+        job.run([root])
+        got = job.visit_urls()
+        assert got == [root, clean]
+        frontier = {r["url"] for r in job_frontier_urls(job)}
+        assert spam not in frontier and longp not in frontier
+
+    def test_gate_off_visits_everything(self, spark):
+        pages, root, clean, spam, longp = self._site()
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None),
+        )
+        job.run([root])
+        assert job.visit_urls() == [root, clean, spam, longp]
+
+    def test_gate_transparent_on_clean_graph(self, spark):
+        # oracle parity is untouched when no link trips a rule
+        pages = synth.site_tree(branching=3, depth=2)
+        oracle = SequentialOracle(
+            {p["url"]: p for p in pages}, OracleConfig(max_depth=None)
+        )
+        exp = oracle.run([pages[0]["url"]])
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, url_quality=True),
+        )
+        job.run([pages[0]["url"]])
+        assert job.visit_urls() == exp.visit_order

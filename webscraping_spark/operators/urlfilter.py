@@ -51,6 +51,63 @@ def _count_char(s: Column, ch: str) -> Column:
     return F.length(s) - F.length(F.replace(s, F.lit(ch), F.lit("")))
 
 
+def url_quality_signal_cols(
+    url: Column, words: tuple[str, ...] = DEFAULT_BADWORDS
+) -> dict[str, Column]:
+    """The seven signals as named Column expressions over one URL column
+    — composable into any existing projection or validity chain."""
+    u = F.lower(url)
+    host = F.regexp_extract(u, _HOST_RE, 1)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    digits = F.length(u) - F.length(F.regexp_replace(u, "[0-9]", ""))
+    bad = "(" + "|".join(words) + ")"
+    return {
+        "url_len": F.length(u).cast("int"),
+        "digit_frac": F.round(
+            digits.cast("double") / F.greatest(F.length(u), F.lit(1)).cast("double"),
+            6,
+        ),
+        "n_params": F.when(query == "", F.lit(0))
+        .otherwise(_count_char(query, "&") + 1)
+        .cast("int"),
+        "path_depth": _count_char(path, "/").cast("int"),
+        "badword_hits": F.size(
+            F.regexp_extract_all(u, F.lit(bad), F.lit(1))
+        ).cast("int"),
+        "is_ip_host": F.when(
+            host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+        "host_hyphens": _count_char(host, "-").cast("int"),
+    }
+
+
+def url_quality_keep_col(
+    url: Column,
+    words: tuple[str, ...] = DEFAULT_BADWORDS,
+    max_len: int = 512,
+    max_digit_frac: float = 0.5,
+    max_params: int = 8,
+    max_path_depth: int = 12,
+    max_host_hyphens: int = 4,
+) -> Column:
+    """The ANDed keep decision as one boolean Column — what the crawl
+    plan folds into its link-validity chain (no extra projection, no
+    shuffle; the whole decision rides the link-extraction stage)."""
+    s = url_quality_signal_cols(url, words=words)
+    return (
+        (s["url_len"] <= max_len)
+        & (s["digit_frac"] <= max_digit_frac)
+        & (s["n_params"] <= max_params)
+        & (s["path_depth"] <= max_path_depth)
+        & (s["badword_hits"] == 0)
+        & (s["is_ip_host"] == 0)
+        & (s["host_hyphens"] <= max_host_hyphens)
+    )
+
+
 def url_quality_signals(
     df: DataFrame,
     url_col: str = "url",
@@ -58,35 +115,8 @@ def url_quality_signals(
 ) -> DataFrame:
     """Append the seven signal columns. Pure projection: no shuffle, no
     Python, fuses into whatever stage already scans ``url_col``."""
-    u = F.lower(F.col(url_col))
-    host = F.regexp_extract(u, _HOST_RE, 1)
-    path = F.regexp_extract(u, _PATH_RE, 1)
-    query = F.regexp_extract(u, _QUERY_RE, 1)
-    digits = F.length(u) - F.length(F.regexp_replace(u, "[0-9]", ""))
-    bad = "(" + "|".join(words) + ")"
-    return df.select(
-        "*",
-        F.length(u).cast("int").alias("url_len"),
-        F.round(
-            digits.cast("double") / F.greatest(F.length(u), F.lit(1)).cast("double"),
-            6,
-        ).alias("digit_frac"),
-        F.when(query == "", F.lit(0))
-        .otherwise(_count_char(query, "&") + 1)
-        .cast("int")
-        .alias("n_params"),
-        _count_char(path, "/").cast("int").alias("path_depth"),
-        F.size(F.regexp_extract_all(u, F.lit(bad), F.lit(1))).cast("int").alias(
-            "badword_hits"
-        ),
-        F.when(
-            host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$"), F.lit(1)
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("is_ip_host"),
-        _count_char(host, "-").cast("int").alias("host_hyphens"),
-    )
+    sigs = url_quality_signal_cols(F.col(url_col), words=words)
+    return df.select("*", *(c.alias(n) for n, c in sigs.items()))
 
 
 def url_quality_gate(
@@ -103,6 +133,8 @@ def url_quality_gate(
     convention). Thresholds follow RefinedWeb's spirit, not its exact
     values (those are corpus-tuned); every one is a kwarg."""
     sig = url_quality_signals(df, url_col=url_col, words=words)
+    # reference the projected signal columns (evaluated once) rather than
+    # re-expanding the expressions via url_quality_keep_col
     keep = (
         (F.col("url_len") <= max_len)
         & (F.col("digit_frac") <= max_digit_frac)

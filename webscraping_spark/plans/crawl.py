@@ -84,6 +84,11 @@ class CrawlConfig:
     # HTTP codes returned as default instead of retried
     # (download.py:447-448): one error attempt, no retries, cached empty
     acceptable_errors: tuple = ()
+    # opt-in RefinedWeb-style URL quality gate (operators/urlfilter.py) —
+    # the curation extension of the reference's link gate, folded into
+    # the same validity chain (spam/adult/trap link shapes never reach
+    # the frontier). Pure codegen; rides the link-extraction stage free.
+    url_quality: bool = False
     # cache TTL on the politeness timeline, seconds (PersistentDict
     # `expires`, pdict.py:51,202-205): a page fetched at time t is served
     # from cache while now - t < expires, re-fetched after. None = never
@@ -1168,6 +1173,10 @@ class CrawlJob:
             valid = valid & F.col("link").rlike("^(?:%s)" % cfg.allowed_urls)
         if cfg.banned_urls and cfg.banned_urls != "^$":
             valid = valid & ~F.col("link").rlike("^(?:%s)" % cfg.banned_urls)
+        if cfg.url_quality:
+            from webscraping_spark.operators.urlfilter import url_quality_keep_col
+
+            valid = valid & url_quality_keep_col(F.col("link"))
         links = links.withColumn("is_valid_pre", valid).withColumn(
             "link_hash", F.xxhash64("link")
         ).withColumn("depth", F.col("page_depth") + 1)
