@@ -43,6 +43,8 @@ DELAYS_SCHEMA = (
     "rate_requests int, rate_seconds int"
 )
 
+SITEMAPS_SCHEMA = "domain string, sitemap string, pos int"
+
 
 def _parse_entries(
     text: str,
@@ -169,6 +171,42 @@ def parse_robots_delays(domain: str, text: str) -> list[tuple]:
         for entry_idx, (agents, _rules, delay, rate) in enumerate(_parse_entries(text))
         for agent in agents
     ]
+
+
+def parse_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives in file order — urllib.robotparser
+    ``site_maps()`` parity (minus its None-for-empty convention; a list is
+    friendlier to a DataFrame build).
+
+    robotparser records a sitemap line wherever it appears — before any
+    User-agent, between entries, inside an entry — and does NOT change the
+    entry state machine ("this directive is independent of the user-agent
+    line", sitemaps.org protocol, quoted in CPython's parser). The value
+    is taken verbatim after comment strip + whitespace strip: no URL
+    validation, an empty value records as ``''``, duplicates are kept.
+    """
+    maps: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            maps.append(value.strip())
+    return maps
+
+
+def sitemap_table(spark, per_domain_texts: dict[str, str]):
+    """(domain, sitemap, pos) rows from raw robots.txt bodies — the seed
+    source for a sitemap-driven crawl: push these URLs into the frontier
+    at depth 0 and let ``operators.sitemap.expand_sitemaps`` unroll the
+    fetched XML into page seeds."""
+    rows = [
+        (domain, sm, pos)
+        for domain, text in per_domain_texts.items()
+        for pos, sm in enumerate(parse_sitemaps(text))
+    ]
+    return spark.createDataFrame(rows, SITEMAPS_SCHEMA)
 
 
 def robots_table(spark, per_domain_texts: dict[str, str]):

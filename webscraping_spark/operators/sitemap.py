@@ -1,0 +1,98 @@
+"""Sitemap ingestion: unroll sitemap.xml / sitemap-index XML payloads
+into frontier seed URLs as one whole-stage-codegen projection + explode.
+
+Reference tie-in: the reference seeds crawls from an explicit URL list
+(download.py threaded_get's ``url``/``urls`` arguments) and its robots
+handling (download.py:978) uses urllib.robotparser, whose ``site_maps()``
+surface is mirrored by ``operators.robots.parse_sitemaps``. This module
+is the missing middle of that pipeline at corpus scale: robots.txt
+``Sitemap:`` directives (robots.sitemap_table) -> fetch the XML through
+the normal fetch stage -> ``expand_sitemaps`` -> depth-0 frontier seeds.
+
+Per sitemaps.org/protocol.html:
+
+- a *urlset* document lists page URLs inside ``<url><loc>...</loc></url>``;
+- a *sitemapindex* lists further sitemaps inside
+  ``<sitemap><loc>...</loc></sitemap>`` (crawl those, don't visit them);
+- ``<loc>`` values are XML entity-escaped (``&amp;`` etc.) and may carry
+  surrounding whitespace.
+
+Everything here is JVM expressions in the Java-regex/RE2 shared subset
+(the engine's oracle convention): one ``regexp_extract_all`` over the
+payload, a literal-replace entity unescape chain, and a ``posexplode``.
+Zero Python, zero shuffle — at 100 TB the expansion fuses into the scan
+that already reads the fetched XML, and the output inherits the input's
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# <loc> with optional surrounding whitespace inside the element; [^<]*
+# keeps the match inside one element (no entity-encoded '<' can appear in
+# a conformant value, and a malformed one just truncates that loc).
+LOC_PATTERN = r"<loc>\s*([^<\s](?:[^<]*[^<\s])?)\s*</loc>"
+
+
+def xml_unescape_col(s: Column) -> Column:
+    """The five XML 1.0 predefined entities, literal replaces only.
+
+    ``&amp;`` is decoded LAST so ``&amp;lt;`` yields ``&lt;`` (the
+    double-escaped form stays text, matching xml.sax.saxutils.unescape) —
+    decoding it first would re-scan and corrupt. Numeric character
+    references are out of scope for URL payloads (the protocol's own
+    examples escape only the five)."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return s
+
+
+def sitemap_locs_col(xml: Column) -> Column:
+    """All ``<loc>`` values of a sitemap payload, file order, entities
+    decoded — ``array<string>`` (empty array for a loc-less payload,
+    NULL for a NULL payload). Works identically for urlset and
+    sitemapindex documents; route on ``is_sitemap_index_col``."""
+    return F.transform(
+        F.regexp_extract_all(xml, F.lit(LOC_PATTERN), F.lit(1)),
+        xml_unescape_col,
+    )
+
+
+def is_sitemap_index_col(xml: Column) -> Column:
+    """True when the payload is a sitemap INDEX (its locs are further
+    sitemaps to expand, not pages to visit). Byte scan, no regex: the
+    root element tag is unique to the document type."""
+    return xml.contains("<sitemapindex")
+
+
+def expand_sitemaps(
+    df: DataFrame,
+    xml_col: str = "html",
+    source_col: str = "url",
+    out_col: str = "link",
+) -> DataFrame:
+    """Unroll each fetched sitemap payload into one row per ``<loc>``:
+
+    ``(source_col, out_col, pos, is_index)`` where ``pos`` is the loc's
+    file position (sitemaps are ordered; a frontier that seeds in pos
+    order reproduces the publisher's intended priority) and ``is_index``
+    flags rows whose URL is itself a sitemap to fetch-and-expand (the
+    caller loops: indexes go back through fetch -> expand, pages go to
+    the frontier at depth 0).
+
+    One projection + posexplode: no shuffle, no Python; the relative-URL
+    case does not arise (the protocol requires absolute URLs) so the
+    output feeds ``canonicalize_split`` like any extracted link batch.
+    """
+    xml = F.col(xml_col)
+    return (
+        df.select(
+            F.col(source_col),
+            F.posexplode(sitemap_locs_col(xml)).alias("pos", out_col),
+            is_sitemap_index_col(xml).alias("is_index"),
+        )
+        .select(source_col, out_col, "pos", "is_index")
+    )
