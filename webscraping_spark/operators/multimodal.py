@@ -351,3 +351,81 @@ def sample_video_frames(
         sample,
         "video_id string, frame_idx long, frame_png binary, mean_luma double",
     )
+
+
+def image_caption_filter(
+    pairs: DataFrame,
+    caption_col: str = "caption",
+    w_col: str = "w",
+    h_col: str = "h",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    clip_col: str | None = None,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    min_chars: int = 5,
+    min_words: int = 2,
+    min_bytes: int = 100,
+    allowed_formats: tuple[str, ...] | None = None,
+    min_clip: float = 0.28,
+) -> DataFrame:
+    """LAION/DataComp-style image-caption pair curation (Schuhmann et al.
+    2021 §2.2; Gadre et al. 2023) over the input_hint table shape
+    ``(image_id, bytes, w, h, fmt, caption, phash)``: the metadata gates
+    that decide a pair's fate WITHOUT decoding pixels — at 10^10 pairs the
+    cheapest image is the one never decoded, the same economics as the URL
+    quality gate one stage earlier.
+
+    Appends one signal column per rule plus the ANDed ``keep`` flag, all
+    one whole-stage-codegen projection — zero shuffle, zero Python, fuses
+    into whatever stage already scans the metadata (the payload column is
+    touched only by ``octet_length`` — its length, never a decode):
+
+    - ``caption_chars`` / ``caption_words`` — LAION drops captions under
+      5 characters; DataComp under 2 words (whitespace tokens).
+    - ``min_dim`` — smallest image side; thumbnails train nothing.
+    - ``aspect_ok`` — ``greatest(w,h) <= max_aspect * least(w,h)``: one
+      exactly-rounded IEEE multiply, no division, so the decision is
+      bit-reproducible across engines (banners/sliders fail it).
+    - ``bytes_len`` — tracking pixels and truncated fetches are tiny.
+    - ``fmt_ok`` — optional decodable-format allowlist.
+    - CLIP-score gate: the production seam. Computing CLIP needs a model
+      forward pass (out of scope here); pass ``clip_col`` naming a
+      precomputed score column and the ``>= min_clip`` gate joins the AND
+      — omitted entirely when ``clip_col`` is None rather than faked.
+
+    Every threshold is a kwarg. NULL caption counts as 0 chars / 0 words
+    (dropped), matching the curation convention that missing alt-text is
+    an empty caption.
+    """
+    cap = F.col(caption_col)
+    trimmed = F.trim(cap)
+    w, h = F.col(w_col), F.col(h_col)
+    sig = {
+        "caption_chars": F.coalesce(F.length(trimmed), F.lit(0)).cast("int"),
+        "caption_words": F.when(
+            F.coalesce(trimmed, F.lit("")) == "", F.lit(0)
+        )
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("int"),
+        "min_dim": F.least(w, h).cast("int"),
+        "aspect_ok": F.greatest(w, h).cast("double")
+        <= F.lit(float(max_aspect)) * F.least(w, h).cast("double"),
+        "bytes_len": F.octet_length(F.col(bytes_col)).cast("int"),
+    }
+    if allowed_formats is not None:
+        sig["fmt_ok"] = F.col(fmt_col).isin(*allowed_formats)
+    keep = (
+        (sig["caption_chars"] >= min_chars)
+        & (sig["caption_words"] >= min_words)
+        & (sig["min_dim"] >= min_side)
+        & sig["aspect_ok"]
+        & (sig["bytes_len"] >= min_bytes)
+    )
+    if allowed_formats is not None:
+        keep = keep & sig["fmt_ok"]
+    if clip_col is not None:
+        keep = keep & (F.col(clip_col) >= min_clip)
+    return pairs.select(
+        "*", *(c.alias(n) for n, c in sig.items()), keep.alias("keep")
+    )
