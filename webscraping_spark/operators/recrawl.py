@@ -1,0 +1,102 @@
+"""Recrawl scheduling from observed change history (the Cho &
+Garcia-Molina revisit policy family): estimate each URL's change
+frequency from consecutive fetch observations and rank stale,
+fast-changing pages first for the next crawl cycle.
+
+Reference tie-in: the reference recrawls via cache expiry alone
+(pdict.py:51,202-205 — a fixed TTL per PersistentDict). A fixed TTL
+refetches a never-changing page as often as a news front page; at a
+10^10-URL corpus the refetch budget IS the crawl budget, so the engine
+upgrades the policy: per-URL empirical change rate x staleness, the
+classic uniform-vs-proportional revisit tradeoff.
+
+Shape: one ``lag`` window + one aggregation, both keyed on the URL —
+Catalyst reuses a single hash partitioning for the two (exactly one
+Exchange end-to-end), and both are map-side combinable downstream of it.
+The history table never leaves the executors.
+
+Determinism: rates live in integer micro-units (``div`` floor division,
+never ``/``) and the priority is an integer product — reduction-order-
+free, bit-identical across partitionings and engines, the same device as
+graph.py's integer PageRank. ``now_ts`` is an explicit argument: an
+implicit clock would make the ranking unreproducible across runs (and
+``Date.now`` is banned engine-wide for exactly that reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def recrawl_priorities(
+    history: DataFrame,
+    now_ts: int,
+    url_col: str = "url_hash",
+    ts_col: str = "crawl_ts",
+    content_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL change statistics and recrawl priority from a fetch
+    history of ``(url, fetch timestamp, content fingerprint)`` rows.
+
+    Emits one row per URL:
+
+    - ``n_visits`` — observations in the history.
+    - ``n_changes`` — consecutive-observation fingerprint changes
+      (ordered by ``(ts, content)``; the content tie-break keeps ``lag``
+      deterministic if a history ever carries duplicate timestamps).
+    - ``change_rate_micro`` — changes per revisit interval in integer
+      micro-units: ``n_changes * 1e6 div (n_visits - 1)``, 0 for a
+      single-visit URL (no interval observed — no evidence it changes).
+    - ``staleness`` — ``now_ts`` minus the last observation.
+    - ``priority`` — ``change_rate_micro * staleness``: a page twice as
+      stale or twice as volatile is twice as urgent; never-changing
+      pages rank 0 regardless of age (proportional policy; callers
+      wanting guaranteed eventual refresh can add a uniform floor to
+      the column before ranking).
+    """
+    url, ts, content = F.col(url_col), F.col(ts_col), F.col(content_col)
+    w = Window.partitionBy(url).orderBy(ts, content)
+    prev = F.lag(content).over(w)
+    # the URL column keeps its name end-to-end: an alias between the
+    # window and the aggregation hides the partitioning equivalence from
+    # EnsureRequirements and buys a second full shuffle
+    obs = history.select(
+        url,
+        ts.alias("__ts"),
+        (prev.isNotNull() & (prev != content)).cast("long").alias("changed"),
+    )
+    agg = obs.groupBy(url_col).agg(
+        F.count("*").alias("n_visits"),
+        F.sum("changed").alias("n_changes"),
+        F.max("__ts").alias("last_ts"),
+    )
+    rate = F.when(
+        F.col("n_visits") > 1,
+        F.expr(f"(n_changes * {MICRO}) div (n_visits - 1)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        F.col(url_col),
+        F.col("n_visits").cast("long").alias("n_visits"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+        rate.alias("change_rate_micro"),
+        (F.lit(now_ts).cast("long") - F.col("last_ts").cast("long")).alias(
+            "staleness"
+        ),
+        (
+            rate * (F.lit(now_ts).cast("long") - F.col("last_ts").cast("long"))
+        ).alias("priority"),
+    )
+
+
+def schedule_recrawls(
+    priorities: DataFrame, k: int, url_col: str = "url_hash"
+) -> DataFrame:
+    """The next crawl cycle's batch: top-k by ``(priority DESC, url)`` —
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge), never a full sort of the corpus."""
+    return priorities.orderBy(
+        F.col("priority").desc(), F.col(url_col)
+    ).limit(k)
