@@ -1403,6 +1403,115 @@ def entry(spark: SparkSession) -> DataFrame:
     return planned.select("url", "domain", "seq", "scheduled_offset")
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion (operators/sitemap.py): deterministic sitemap
+    XML planted per doc_id — every 5th doc a 2-entry sitemapindex, the
+    rest urlsets with 1-3 <url> entries carrying entity-escaped query
+    strings (&amp;) and whitespace-padded <loc> values — expanded into
+    (url, link, pos, is_index) rows by one codegen regexp_extract_all +
+    entity-unescape + posexplode: zero shuffle, zero Python. The oracle
+    re-plants the identical XML and re-derives every loc, its file
+    position and the index flag in DuckDB with the same pattern string."""
+    from webscraping_spark.operators.sitemap import expand_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    urlset = F.concat(
+        F.lit("<urlset>"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), (d % 3).cast("int")),
+                lambda j: F.concat(
+                    F.lit("<url><loc>\n  http://sm"), ds, F.lit(".com/p"),
+                    j.cast("string"), F.lit("?a=1&amp;b="), ds,
+                    F.lit(" \n</loc><lastmod>2026-01-01</lastmod></url>"),
+                ),
+            ),
+        ),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1)),
+                lambda j: F.concat(
+                    F.lit("<sitemap><loc>http://sm"), ds, F.lit(".com/s"),
+                    j.cast("string"), F.lit(".xml</loc></sitemap>"),
+                ),
+            ),
+        ),
+        F.lit("</sitemapindex>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://sm"), ds, F.lit(".com/sitemap.xml")).alias("url"),
+        F.when(d % 5 == 0, index).otherwise(urlset).alias("html"),
+    )
+    return expand_sitemaps(pages)
+
+
+def q_image_caption_filter(spark, sf_dir):
+    """LAION/DataComp-style image-caption pair curation
+    (multimodal.image_caption_filter): a deterministic pair table is
+    planted from documents (dims 16-255 via modular arithmetic, captions
+    as 0-40-char text prefixes, payload lengths 0-299, a 4-format cycle
+    with gif outside the allowlist) so every rule fires on real rows with
+    both keep branches exercised. One codegen projection, zero shuffle,
+    zero Python; the only float is one exactly-rounded IEEE multiply
+    (the aspect gate). The oracle re-plants the identical table and
+    re-derives every signal and the keep flag in DuckDB."""
+    from webscraping_spark.operators.multimodal import image_caption_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    pairs = docs.select(
+        F.md5(d.cast("string")).alias("image_id"),
+        F.repeat(F.lit("x"), (d % 300).cast("int")).cast("binary").alias("bytes"),
+        (16 + (d * 7) % 240).cast("int").alias("w"),
+        (16 + (d * 13) % 240).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm"), F.lit("gif")),
+            ((d % 4) + 1).cast("int"),
+        ).alias("fmt"),
+        F.substring(F.col("text"), 1, (d % 41).cast("int")).alias("caption"),
+    )
+    return image_caption_filter(
+        pairs, allowed_formats=("png", "bmp", "ppm")
+    ).drop("bytes")
+
+
+# microseconds from the 2024-01-01 NTZ anchor to 2024-02-01 (31 days) —
+# interval arithmetic against a fixed NTZ anchor, never epoch conversion,
+# so neither engine's session timezone can leak in (q_cache_ttl_filter
+# convention)
+_RECRAWL_NOW_US = 31 * 86_400 * 1_000_000
+
+
+def q_recrawl_priorities(spark, sf_dir):
+    """Change-frequency recrawl scheduling (operators/recrawl.py): the
+    events table read as a fetch history — user_id as the URL key,
+    microsecond event time as the fetch timestamp, event_type as the
+    content fingerprint — so consecutive-visit changes, the floor-divided
+    micro-unit change rate and the integer priority product all fire on
+    real data. One lag window + one agg sharing a single hash
+    partitioning (exactly one Exchange); pure integer arithmetic, so the
+    result is bit-identical across engines and partitionings. The oracle
+    re-derives the identical window, counts and products in DuckDB."""
+    from webscraping_spark.operators.recrawl import recrawl_priorities
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_hash"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("crawl_ts"),
+        F.col("event_type").alias("content_hash"),
+    )
+    return recrawl_priorities(ev, _RECRAWL_NOW_US)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -1469,6 +1578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "bm25_topk": q_bm25_topk,
         "url_quality": q_url_quality,
+        "sitemap_extract": q_sitemap_extract,
+        "image_caption_filter": q_image_caption_filter,
+        "recrawl_priorities": q_recrawl_priorities,
     }
 
 
@@ -2721,5 +2833,112 @@ def oracle_sql() -> dict[str, str]:
             FROM contrib GROUP BY doc_id
             ORDER BY score DESC, doc_id
             LIMIT 50
+        """,
+        "sitemap_extract": r"""
+            -- re-plant the identical sitemap XML (urlset / sitemapindex,
+            -- entity-escaped query strings, whitespace-padded <loc>) and
+            -- re-derive every loc with the same pattern string, the
+            -- 5-entity unescape chain (amp last) and 0-based positions
+            WITH xml AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN
+                      '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                      || array_to_string([
+                           '<sitemap><loc>http://sm' || doc_id || '.com/s'
+                           || j || '.xml</loc></sitemap>'
+                           for j in range(2) ], '')
+                      || '</sitemapindex>'
+                    ELSE
+                      '<urlset>'
+                      || array_to_string([
+                           '<url><loc>' || chr(10) || '  http://sm'
+                           || doc_id || '.com/p' || j || '?a=1&amp;b='
+                           || doc_id || ' ' || chr(10)
+                           || '</loc><lastmod>2026-01-01</lastmod></url>'
+                           for j in range(1 + doc_id % 3) ], '')
+                      || '</urlset>'
+                    END AS body
+                FROM documents
+            ), locs AS (
+                SELECT 'http://sm' || doc_id || '.com/sitemap.xml' AS url,
+                       regexp_extract_all(body,
+                         '<loc>\s*([^<\s](?:[^<]*[^<\s])?)\s*</loc>', 1) AS l,
+                       contains(body, '<sitemapindex') AS is_index
+                FROM xml
+            )
+            SELECT url,
+                   replace(replace(replace(replace(replace(unnest(l),
+                     '&lt;','<'),'&gt;','>'),'&quot;','"'),
+                     '&apos;',''''),'&amp;','&') AS link,
+                   CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+                   is_index
+            FROM locs
+        """,
+        "image_caption_filter": r"""
+            -- re-plant the identical pair table and re-derive every
+            -- signal; the aspect gate is the same one exactly-rounded
+            -- IEEE multiply on both engines
+            WITH pairs AS (
+                SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                       repeat('x', CAST(doc_id % 300 AS INT)) AS bstr,
+                       CAST(16 + (doc_id * 7) % 240 AS INT) AS w,
+                       CAST(16 + (doc_id * 13) % 240 AS INT) AS h,
+                       ['png','bmp','ppm','gif'][CAST(doc_id % 4 AS INT) + 1]
+                           AS fmt,
+                       substr(text, 1, CAST(doc_id % 41 AS INT)) AS caption
+                FROM documents
+            ), sig AS (
+                SELECT image_id, w, h, fmt, caption,
+                       CAST(len(trim(caption)) AS INT) AS caption_chars,
+                       CAST(CASE WHEN trim(caption) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(
+                                          trim(caption), '\s+'))
+                            END AS INT) AS caption_words,
+                       CAST(least(w, h) AS INT) AS min_dim,
+                       CAST(greatest(w, h) AS DOUBLE)
+                           <= 3.0 * CAST(least(w, h) AS DOUBLE) AS aspect_ok,
+                       CAST(len(bstr) AS INT) AS bytes_len,
+                       fmt IN ('png','bmp','ppm') AS fmt_ok
+                FROM pairs
+            )
+            SELECT *,
+                   (caption_chars >= 5 AND caption_words >= 2
+                    AND min_dim >= 64 AND aspect_ok
+                    AND bytes_len >= 100 AND fmt_ok) AS keep
+            FROM sig
+        """,
+        "recrawl_priorities": """
+            -- the identical lag window, change counts, floor-divided
+            -- micro-unit rate and integer priority product
+            WITH obs AS (
+                SELECT user_id AS url_hash,
+                       date_diff('microsecond',
+                                 TIMESTAMP '2024-01-01 00:00:00', ts)
+                           AS crawl_ts,
+                       event_type AS content_hash,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_type) AS prev
+                FROM events
+            ), agg AS (
+                SELECT url_hash,
+                       COUNT(*) AS n_visits,
+                       CAST(SUM(CASE WHEN prev IS NOT NULL
+                                      AND prev <> content_hash
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_changes,
+                       MAX(crawl_ts) AS last_ts
+                FROM obs GROUP BY url_hash
+            )
+            SELECT url_hash, n_visits, n_changes,
+                   CASE WHEN n_visits > 1
+                        THEN (n_changes * 1000000) // (n_visits - 1)
+                        ELSE 0 END AS change_rate_micro,
+                   2678400000000 - last_ts AS staleness,
+                   (CASE WHEN n_visits > 1
+                         THEN (n_changes * 1000000) // (n_visits - 1)
+                         ELSE 0 END)
+                       * (2678400000000 - last_ts) AS priority
+            FROM agg
         """,
     }
