@@ -1512,6 +1512,50 @@ def q_recrawl_priorities(spark, sf_dir):
     return recrawl_priorities(ev, _RECRAWL_NOW_US)
 
 
+def q_pair_curation_pipeline(spark, sf_dir):
+    """The IMAGE-side curation pipeline COMPOSED as one plan — the
+    image+caption twin of q_curate_pipeline: LAION-style pair gate
+    (codegen projection, fuses into the scan) -> perceptual-hash exact
+    near-dup collapse (ONE groupBy shuffle: min_by pulls the
+    min-image_id representative's metadata inside the same aggregation,
+    so there is no join-back shuffle) -> deterministic salted-hash
+    train/val/test split (pure map). phash is planted as a 64-bucket
+    Knuth-multiplicative hash so the dedup stage genuinely collapses
+    groups (111 gated pairs into <=64 buckets at sf0.01). The oracle
+    re-derives all three stages in DuckDB on the identical planted
+    table."""
+    from webscraping_spark.operators.multimodal import image_caption_filter
+    from webscraping_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    pairs = docs.select(
+        F.md5(d.cast("string")).alias("image_id"),
+        F.repeat(F.lit("x"), (d % 300).cast("int")).cast("binary").alias("bytes"),
+        (16 + (d * 7) % 240).cast("int").alias("w"),
+        (16 + (d * 13) % 240).cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("bmp"), F.lit("ppm"), F.lit("gif")),
+            ((d % 4) + 1).cast("int"),
+        ).alias("fmt"),
+        F.substring(F.col("text"), 1, (d % 41).cast("int")).alias("caption"),
+        ((d * 2654435761) % 64).alias("phash"),
+    )
+    gated = image_caption_filter(
+        pairs, allowed_formats=("png", "bmp", "ppm")
+    ).filter("keep")
+    reps = gated.groupBy("phash").agg(
+        F.min("image_id").alias("image_id"),
+        F.min_by("w", "image_id").alias("w"),
+        F.min_by("h", "image_id").alias("h"),
+        F.min_by("fmt", "image_id").alias("fmt"),
+        F.count("*").alias("n_dupes"),
+    )
+    return hash_split(reps, "image_id").select(
+        "image_id", "phash", "w", "h", "fmt", "n_dupes", "split"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -1581,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "image_caption_filter": q_image_caption_filter,
         "recrawl_priorities": q_recrawl_priorities,
+        "pair_curation_pipeline": q_pair_curation_pipeline,
     }
 
 
@@ -2940,5 +2985,49 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0 END)
                        * (2678400000000 - last_ts) AS priority
             FROM agg
+        """,
+        "pair_curation_pipeline": """
+            -- all three stages re-derived: the pair gate's signals, the
+            -- min_by(image_id) representative per phash bucket, and the
+            -- salted-md5 split thresholds (hash_split_docs convention)
+            WITH pairs AS (
+                SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                       repeat('x', CAST(doc_id % 300 AS INT)) AS bstr,
+                       CAST(16 + (doc_id * 7) % 240 AS INT) AS w,
+                       CAST(16 + (doc_id * 13) % 240 AS INT) AS h,
+                       ['png','bmp','ppm','gif'][CAST(doc_id % 4 AS INT) + 1]
+                           AS fmt,
+                       substr(text, 1, CAST(doc_id % 41 AS INT)) AS caption,
+                       (doc_id * 2654435761) % 64 AS phash
+                FROM documents
+            ), gated AS (
+                SELECT * FROM pairs
+                WHERE len(trim(caption)) >= 5
+                  AND (CASE WHEN trim(caption) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(caption),
+                                                           '\s+'))
+                       END) >= 2
+                  AND least(w, h) >= 64
+                  AND CAST(greatest(w, h) AS DOUBLE)
+                      <= 3.0 * CAST(least(w, h) AS DOUBLE)
+                  AND len(bstr) >= 100
+                  AND fmt IN ('png','bmp','ppm')
+            ), reps AS (
+                SELECT phash,
+                       min(image_id) AS image_id,
+                       min_by(w, image_id) AS w,
+                       min_by(h, image_id) AS h,
+                       min_by(fmt, image_id) AS fmt,
+                       CAST(count(*) AS BIGINT) AS n_dupes
+                FROM gated GROUP BY phash
+            )
+            SELECT image_id, phash, w, h, fmt, n_dupes,
+                   CASE WHEN b < 3865470566 THEN 'train'
+                        WHEN b < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT *,
+                         ('0x' || substr(md5(image_id || ':s42'), 1, 8))::UBIGINT
+                             AS b
+                  FROM reps)
         """,
     }
