@@ -3005,7 +3005,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(trim(caption)) >= 5
                   AND (CASE WHEN trim(caption) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(caption),
-                                                           '\s+'))
+                                                           '\\s+'))
                        END) >= 2
                   AND least(w, h) >= 64
                   AND CAST(greatest(w, h) AS DOUBLE)
