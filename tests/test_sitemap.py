@@ -138,3 +138,37 @@ class TestExpandSitemaps:
         assert "Exchange" not in plan
         for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert node not in plan
+
+
+class TestSitemapSeededCrawl:
+    def test_robots_to_sitemap_to_crawl(self, spark):
+        """The full discovery pipeline: robots.txt advertises a sitemap,
+        the fetched XML expands into ordered page seeds, and the crawl
+        visits exactly those pages in sitemap order (publisher priority
+        preserved by the frontier's seed ordering)."""
+        from webscraping_spark.plans.crawl import CrawlConfig, CrawlJob
+        from webscraping_spark.sources import synth
+
+        robots_txt = "User-agent: *\nDisallow:\n\nSitemap: http://s.com/sitemap.xml"
+        maps = sitemap_table(spark, {"s.com": robots_txt}).collect()
+        assert [m["sitemap"] for m in maps] == ["http://s.com/sitemap.xml"]
+
+        a, b = "http://s.com/a", "http://s.com/b"
+        sm_page = synth.make_page(maps[0]["sitemap"], [])
+        sm_page["html"] = (
+            f"<urlset><url><loc>{b}</loc></url>"
+            f"<url><loc>{a}</loc></url></urlset>"
+        )
+        pages = [sm_page, synth.make_page(a, []), synth.make_page(b, [])]
+
+        seeds_df = sm.expand_sitemaps(
+            synth.pages_df(spark, [sm_page])
+        ).orderBy("pos")
+        seeds = [r["link"] for r in seeds_df.collect()]
+        assert seeds == [b, a]  # sitemap file order, not URL order
+
+        job = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(max_depth=None)
+        )
+        job.run(seeds)
+        assert job.visit_urls() == [b, a]
