@@ -1556,6 +1556,36 @@ def q_pair_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_cdx_surt(spark, sf_dir):
+    """CDX capture index with SURT keys (operators/cdx.py): six planted
+    URL classes — plain, uppercase+www, multi-label ccTLD, explicit
+    port, no-path, query-only — so every branch of the SURT transform
+    (host reversal, port retention, bare-root '/', case folding) fires
+    on real rows. The index build is range-repartition + per-partition
+    sort (never a single-task global sort; the driver compare is order-
+    insensitive, so the query's correctness surface is the key+digest
+    computation). The oracle re-derives surt character for character
+    with the identical pattern strings plus DuckDB's md5."""
+    from webscraping_spark.operators.cdx import cdx_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    cls = d % 6
+    url = (
+        F.when(cls == 0, F.concat(F.lit("http://site"), ds, F.lit(".com/a/b.html")))
+        .when(cls == 1, F.concat(F.lit("HTTP://WWW.Site"), ds, F.lit(".COM/Path?b=2&a=1")))
+        .when(cls == 2, F.concat(F.lit("http://a.b.site"), ds, F.lit(".co.uk/deep/x?q="), ds))
+        .when(cls == 3, F.concat(F.lit("http://site"), ds, F.lit(".com:8080/p")))
+        .when(cls == 4, F.concat(F.lit("http://site"), ds, F.lit(".com")))
+        .otherwise(F.concat(F.lit("https://sub.site"), ds, F.lit(".org/p?only="), ds))
+    )
+    caps = docs.select(
+        url.alias("url"), d.alias("crawl_ts"), F.col("text").alias("html")
+    )
+    return cdx_index(caps, num_files=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -1626,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_filter": q_image_caption_filter,
         "recrawl_priorities": q_recrawl_priorities,
         "pair_curation_pipeline": q_pair_curation_pipeline,
+        "cdx_surt": q_cdx_surt,
     }
 
 
@@ -3029,5 +3060,52 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(image_id || ':s42'), 1, 8))::UBIGINT
                              AS b
                   FROM reps)
+        """,
+        "cdx_surt": r"""
+            -- SURT re-derived character for character with the identical
+            -- pattern strings; digest is both engines' md5 of text
+            WITH caps AS (
+                SELECT CASE CAST(doc_id % 6 AS INT)
+                         WHEN 0 THEN 'http://site' || doc_id || '.com/a/b.html'
+                         WHEN 1 THEN 'HTTP://WWW.Site' || doc_id
+                                     || '.COM/Path?b=2&a=1'
+                         WHEN 2 THEN 'http://a.b.site' || doc_id
+                                     || '.co.uk/deep/x?q=' || doc_id
+                         WHEN 3 THEN 'http://site' || doc_id || '.com:8080/p'
+                         WHEN 4 THEN 'http://site' || doc_id || '.com'
+                         ELSE 'https://sub.site' || doc_id || '.org/p?only='
+                              || doc_id
+                       END AS url,
+                       doc_id AS ts, md5(text) AS digest
+                FROM documents
+            ), parts AS (
+                SELECT url, ts, digest,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1) AS host,
+                       regexp_extract(lower(url),
+                           '^[a-z][a-z0-9+.-]*://[^/?#:]*([^#]*)', 1) AS aft
+                FROM caps
+            ), keyed AS (
+                SELECT url, ts, digest,
+                       array_to_string(list_reverse(string_split(host, '.')),
+                                       ',') AS rev,
+                       CASE WHEN aft = '' THEN '/'
+                            WHEN aft LIKE ':%' OR aft LIKE '/%' THEN aft
+                            ELSE '/' || aft END AS pth
+                FROM parts
+            ), ported AS (
+                SELECT url, ts, digest, rev,
+                       CASE WHEN pth LIKE ':%' THEN split_part(pth, '/', 1)
+                            ELSE '' END AS port,
+                       CASE WHEN pth LIKE ':%'
+                            THEN substr(pth, len(split_part(pth, '/', 1)) + 1)
+                            ELSE pth END AS rest0
+                FROM keyed
+            )
+            SELECT rev || port || ')'
+                       || (CASE WHEN rest0 = '' THEN '/' ELSE rest0 END)
+                       AS surt,
+                   ts, digest, url
+            FROM ported
         """,
     }
