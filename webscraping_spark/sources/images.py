@@ -13,9 +13,13 @@ carries decoded-verifiable payloads per BASELINE.json ``input_hint``:
 
 No Pillow/libjpeg exists in this sandbox, so codecs are implemented
 directly: PNG (zlib, filter 0 encode / filters 0-4 decode), BMP (24-bit
-BI_RGB), PPM (P6), and the lossy stand-in quantizes to a step-4 lattice
-before PNG-encoding (uniform quantization error => PSNR ~46 dB > 40 dB
-gate). All functions operate on uint8 RGB arrays (h, w, 3).
+BI_RGB), PPM (P6), REAL baseline JPEG from the ITU-T T.81 spec
+(sources/jpeg.py: DCT + Annex K quantization/Huffman, 4:4:4/4:2:0/
+grayscale, restart markers; default quality 98 measures >= 43 dB on
+white-noise imagery), and the "qnt" lossy stand-in quantizes to a step-4
+lattice before PNG-encoding (uniform quantization error => PSNR ~46 dB).
+Both lossy formats clear the input_hint's 40 dB gate. All functions
+operate on uint8 RGB arrays (h, w, 3).
 """
 
 from __future__ import annotations
@@ -187,10 +191,31 @@ def decode_qnt(data: bytes) -> np.ndarray:
     return decode_png(data[4:])
 
 
-_ENCODERS = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm, "qnt": encode_qnt}
-_DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm, "qnt": decode_qnt}
-LOSSLESS_FORMATS = frozenset({"png", "bmp", "ppm"})
-LOSSY_FORMATS = frozenset({"qnt"})
+from webscraping_spark.sources.gif import decode_gif, encode_gif  # noqa: E402
+from webscraping_spark.sources.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+_ENCODERS = {
+    "png": encode_png,
+    "bmp": encode_bmp,
+    "ppm": encode_ppm,
+    "qnt": encode_qnt,
+    "jpeg": encode_jpeg,
+    "gif": encode_gif,
+}
+_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+    "qnt": decode_qnt,
+    "jpeg": decode_jpeg,
+    "gif": decode_gif,
+}
+# gif is lossless within its <=256-color palette (the encoder refuses
+# richer inputs rather than quantize), so it sits on the allclose side of
+# the verify contract; it is not in the synth rotation because the
+# synthetic pixel generators exceed 256 colors by construction.
+LOSSLESS_FORMATS = frozenset({"png", "bmp", "ppm", "gif"})
+LOSSY_FORMATS = frozenset({"qnt", "jpeg"})
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:

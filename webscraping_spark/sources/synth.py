@@ -35,7 +35,7 @@ PAGES_SCHEMA = T.StructType(
 )
 
 _SIZES = (16, 32, 64, 128)
-_FMTS = ("png", "bmp", "ppm", "qnt")
+_FMTS = ("png", "bmp", "ppm", "qnt", "jpeg")
 _WORDS = (
     "amber basalt cedar dune ember fjord garnet harbor iris juniper kelp "
     "lagoon marble nectar onyx prairie quartz reed sierra tundra umber "
