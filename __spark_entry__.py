@@ -1483,6 +1483,50 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_jpeg_exif_extract(spark, sf_dir):
+    """EXIF metadata extraction through a REAL APP1/TIFF encode->parse
+    roundtrip (sources/jpeg.py, operators/multimodal.extract_exif): 48
+    planted JPEGs carry Make/Model/Software/ImageDescription/DateTime/
+    Orientation/PixelX/YDimension derived from doc_id by pure modular
+    arithmetic; every 7th doc gets no EXIF (NULL branch), odd docs write
+    the little-endian ("II") TIFF byte order and even docs big-endian
+    ("MM"). The oracle re-derives every field in DuckDB, so a parser that
+    misreads any IFD offset, inline-value layout or byte order
+    hash-mismatches."""
+    import hashlib
+
+    from webscraping_spark.operators.multimodal import extract_exif
+    from webscraping_spark.sources import images, jpeg
+
+    docs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select("doc_id").collect()
+    )
+    rows = []
+    for r in docs:
+        d = int(r["doc_id"])
+        image_id = hashlib.md5(str(d).encode()).hexdigest()
+        w, h = 16 + (d * 7) % 48, 16 + (d * 13) % 48
+        px = images.synth_pixels(image_id, w, h)
+        exif = None
+        if d % 7 != 0:
+            exif = {
+                "make": "Maker%d" % (d % 5),
+                "model": "Model-%d" % (d % 11),
+                "software": "engine 4.%d" % (d % 3),
+                "description": "img %d" % d,
+                "datetime": "2024:01:%02d 12:00:%02d" % (1 + d % 28, d % 60),
+                "orientation": 1 + d % 8,
+                "exif_w": w,
+                "exif_h": h,
+            }
+        payload = jpeg.encode_jpeg(
+            px, exif=exif, exif_little_endian=bool(d % 2)
+        )
+        rows.append((image_id, bytearray(payload)))
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return extract_exif(pages)
+
+
 # microseconds from the 2024-01-01 NTZ anchor to 2024-02-01 (31 days) —
 # interval arithmetic against a fixed NTZ anchor, never epoch conversion,
 # so neither engine's session timezone can leak in (q_cache_ttl_filter
@@ -1654,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "sitemap_extract": q_sitemap_extract,
         "image_caption_filter": q_image_caption_filter,
+        "jpeg_exif_extract": q_jpeg_exif_extract,
         "recrawl_priorities": q_recrawl_priorities,
         "pair_curation_pipeline": q_pair_curation_pipeline,
         "cdx_surt": q_cdx_surt,
@@ -3060,6 +3105,34 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(image_id || ':s42'), 1, 8))::UBIGINT
                              AS b
                   FROM reps)
+        """,
+        "jpeg_exif_extract": """
+            -- re-derive every planted EXIF field from doc_id; the Spark
+            -- side must recover the identical values through a real
+            -- APP1/TIFF encode -> parse roundtrip in both byte orders
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                   (doc_id % 7 <> 0) AS has_exif,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'Maker' || (doc_id % 5) END AS make,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'Model-' || (doc_id % 11) END AS model,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'engine 4.' || (doc_id % 3) END AS software,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'img ' || doc_id END AS description,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN '2024:01:'
+                             || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                             || ' 12:00:'
+                             || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+                        END AS "datetime",
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(16 + (doc_id * 7) % 48 AS BIGINT) END AS exif_w,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(16 + (doc_id * 13) % 48 AS BIGINT) END AS exif_h
+            FROM documents WHERE doc_id < 48
         """,
         "cdx_surt": r"""
             -- SURT re-derived character for character with the identical

@@ -153,3 +153,73 @@ def test_dc_differential_across_blocks():
     # gradient direction preserved
     means = decoded.astype(np.float64).mean(axis=(0, 2))
     assert means[-1] - means[0] > 200.0
+
+
+# ------------------------------------------------------------------- EXIF
+
+
+_EXIF_FULL = {
+    "make": "AcmeCam",
+    "model": "X100 Mark II",
+    "software": "ws-engine",
+    "description": "a planted test image",
+    "datetime": "2024:03:15 12:34:56",
+    "orientation": 6,
+    "exif_w": 24,
+    "exif_h": 16,
+}
+
+
+@pytest.mark.parametrize("little_endian", [False, True])
+def test_exif_roundtrip_both_byte_orders(little_endian):
+    """APP1/TIFF metadata survives encode -> parse in II and MM order,
+    and the segment does not disturb pixel decode."""
+    px = images.synth_pixels("jpg-exif", 24, 16)
+    data = jpeg.encode_jpeg(px, exif=_EXIF_FULL, exif_little_endian=little_endian)
+    assert jpeg.parse_exif(data) == _EXIF_FULL
+    assert images.psnr(px, jpeg.decode_jpeg(data)) >= 40.0
+
+
+def test_exif_inline_ascii_and_partial_dicts():
+    """Strings <= 4 bytes (incl. NUL) take TIFF's inline-value layout;
+    omitted keys simply don't appear."""
+    px = images.synth_pixels("jpg-exif2", 16, 16)
+    meta = {"make": "abc", "orientation": 1}
+    assert jpeg.parse_exif(jpeg.encode_jpeg(px, exif=meta)) == meta
+
+
+def test_exif_absent_and_invalid():
+    px = images.synth_pixels("jpg-exif3", 16, 16)
+    assert jpeg.parse_exif(jpeg.encode_jpeg(px)) == {}
+    with pytest.raises(ValueError):
+        jpeg.parse_exif(b"GIF89a not a jpeg")
+    # corrupt TIFF body inside an otherwise well-formed APP1 -> {} not crash
+    data = bytearray(jpeg.encode_jpeg(px, exif={"make": "x"}))
+    at = bytes(data).index(b"Exif\x00\x00") + 6
+    data[at : at + 2] = b"ZZ"  # neither II nor MM
+    assert jpeg.parse_exif(bytes(data)) == {}
+
+
+def test_extract_exif_operator(spark):
+    """mapInPandas EXIF extraction: stable 1:1 row set with NULL rows for
+    EXIF-less JPEGs and non-JPEG payloads."""
+    from webscraping_spark.operators.multimodal import extract_exif
+
+    px = images.synth_pixels("jpg-exif-op", 16, 16)
+    rows = [
+        ("with", bytearray(jpeg.encode_jpeg(px, exif=_EXIF_FULL))),
+        ("without", bytearray(jpeg.encode_jpeg(px))),
+        ("notjpeg", bytearray(images.encode_png(px))),
+    ]
+    out = {
+        r["image_id"]: r
+        for r in extract_exif(
+            spark.createDataFrame(rows, "image_id string, bytes binary")
+        ).collect()
+    }
+    assert set(out) == {"with", "without", "notjpeg"}
+    assert out["with"]["has_exif"] and out["with"]["make"] == "AcmeCam"
+    assert out["with"]["orientation"] == 6 and out["with"]["exif_w"] == 24
+    for k in ("without", "notjpeg"):
+        assert not out[k]["has_exif"]
+        assert out[k]["make"] is None and out[k]["orientation"] is None

@@ -230,6 +230,59 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def extract_exif(pages: DataFrame) -> DataFrame:
+    """Extract the EXIF metadata subset from JPEG payloads: (image_id,
+    has_exif, make, model, software, description, datetime, orientation,
+    exif_w, exif_h). Non-JPEG payloads and EXIF-less JPEGs yield a row
+    with has_exif=false and NULL fields — the row set is stable so the
+    output joins 1:1 back to the pages table.
+
+    Real crawls use this for orientation-aware thumbnailing, camera-model
+    analytics and PII triage (EXIF can embed author/GPS data; the parse
+    step is where a redaction policy hooks in). mapInPandas over
+    (image_id, bytes) only; the parser (sources/jpeg.py:parse_exif) walks
+    the APP1 TIFF block in either byte order.
+    """
+
+    out_schema = (
+        "image_id string, has_exif boolean, make string, model string, "
+        "software string, description string, datetime string, "
+        "orientation int, exif_w long, exif_h long"
+    )
+    str_keys = ("make", "model", "software", "description", "datetime")
+
+    def extract(batches):
+        from webscraping_spark.sources.jpeg import parse_exif
+
+        for pdf in batches:
+            n = len(pdf)
+            rows = {
+                "image_id": pdf["image_id"].to_numpy(),
+                "has_exif": np.zeros(n, dtype=bool),
+                **{k: np.full(n, None, dtype=object) for k in str_keys},
+                "orientation": np.full(n, None, dtype=object),
+                "exif_w": np.full(n, None, dtype=object),
+                "exif_h": np.full(n, None, dtype=object),
+            }
+            for i in range(n):
+                try:
+                    meta = parse_exif(bytes(pdf["bytes"].iloc[i]))
+                except (ValueError, IndexError):
+                    continue  # not a JPEG: stable all-NULL row
+                if not meta:
+                    continue
+                rows["has_exif"][i] = True
+                for k in str_keys:
+                    if k in meta:
+                        rows[k][i] = meta[k]
+                for k in ("orientation", "exif_w", "exif_h"):
+                    if k in meta:
+                        rows[k][i] = int(meta[k])
+            yield pd.DataFrame(rows)
+
+    return pages.select("image_id", "bytes").mapInPandas(extract, out_schema)
+
+
 # --- audio / video (real for uncompressed containers, stub for codecs) ------
 
 

@@ -315,6 +315,146 @@ def _encode_block(
     return dc
 
 
+# ------------------------------------------------------------------- EXIF
+
+# tag name <-> id maps for the subset of IFD0/Exif-IFD tags the pipeline
+# extracts (TIFF 6.0 / EXIF 2.3 public specs)
+_EXIF_TAGS_IFD0 = {
+    "description": (0x010E, 2),  # ImageDescription, ASCII
+    "make": (0x010F, 2),
+    "model": (0x0110, 2),
+    "orientation": (0x0112, 3),  # SHORT
+    "software": (0x0131, 2),
+    "datetime": (0x0132, 2),  # "YYYY:MM:DD HH:MM:SS"
+}
+_EXIF_TAGS_SUB = {
+    "exif_w": (0xA002, 4),  # PixelXDimension, LONG
+    "exif_h": (0xA003, 4),
+}
+_EXIF_SUBIFD_PTR = 0x8769
+_TAG_NAMES = {tid: name for name, (tid, _) in {**_EXIF_TAGS_IFD0, **_EXIF_TAGS_SUB}.items()}
+
+
+def _build_tiff(exif: dict, little_endian: bool = False) -> bytes:
+    """Serialize the supported EXIF subset as a TIFF block (IFD0 + Exif
+    sub-IFD + string data area). Offsets are relative to the TIFF header,
+    per the EXIF spec."""
+    bo = "<" if little_endian else ">"
+    ifd0 = [(tid, typ, exif[name]) for name, (tid, typ) in _EXIF_TAGS_IFD0.items() if name in exif]
+    sub = [(tid, typ, exif[name]) for name, (tid, typ) in _EXIF_TAGS_SUB.items() if name in exif]
+    if sub:
+        ifd0.append((_EXIF_SUBIFD_PTR, 4, None))  # pointer patched below
+    ifd0.sort(key=lambda e: e[0])  # TIFF requires ascending tag order
+    ifd0_at = 8
+    ifd0_size = 2 + 12 * len(ifd0) + 4
+    sub_at = ifd0_at + ifd0_size
+    sub_size = (2 + 12 * len(sub) + 4) if sub else 0
+    data_at = sub_at + sub_size
+
+    data_area = bytearray()
+
+    def entry(tid: int, typ: int, value) -> bytes:
+        nonlocal data_area
+        if tid == _EXIF_SUBIFD_PTR:
+            return struct.pack(bo + "HHII", tid, 4, 1, sub_at)
+        if typ == 2:  # ASCII, NUL-terminated, count includes the NUL
+            raw = str(value).encode("ascii") + b"\x00"
+            if len(raw) <= 4:
+                return struct.pack(bo + "HHI", tid, 2, len(raw)) + raw.ljust(4, b"\x00")
+            off = data_at + len(data_area)
+            data_area += raw
+            return struct.pack(bo + "HHII", tid, 2, len(raw), off)
+        if typ == 3:  # SHORT, inline in the first 2 value bytes
+            return struct.pack(bo + "HHI", tid, 3, 1) + struct.pack(bo + "H", int(value)) + b"\x00\x00"
+        return struct.pack(bo + "HHII", tid, 4, 1, int(value))  # LONG
+
+    out = bytearray()
+    out += (b"II" if little_endian else b"MM") + struct.pack(bo + "HI", 42, ifd0_at)
+    out += struct.pack(bo + "H", len(ifd0))
+    for tid, typ, value in ifd0:
+        out += entry(tid, typ, value)
+    out += struct.pack(bo + "I", 0)  # no IFD1
+    if sub:
+        out += struct.pack(bo + "H", len(sub))
+        for tid, typ, value in sorted(sub):
+            out += entry(tid, typ, value)
+        out += struct.pack(bo + "I", 0)
+    out += data_area
+    return bytes(out)
+
+
+def _exif_app1(exif: dict, little_endian: bool = False) -> bytes:
+    tiff = b"Exif\x00\x00" + _build_tiff(exif, little_endian)
+    return b"\xff\xe1" + struct.pack(">H", len(tiff) + 2) + tiff
+
+
+def _parse_ifd(tiff: bytes, bo: str, at: int, out: dict) -> None:
+    (count,) = struct.unpack_from(bo + "H", tiff, at)
+    for i in range(count):
+        tid, typ, n = struct.unpack_from(bo + "HHI", tiff, at + 2 + 12 * i)
+        val_at = at + 2 + 12 * i + 8
+        if tid == _EXIF_SUBIFD_PTR and typ == 4:
+            (off,) = struct.unpack_from(bo + "I", tiff, val_at)
+            if 0 < off < len(tiff):
+                _parse_ifd(tiff, bo, off, out)
+            continue
+        name = _TAG_NAMES.get(tid)
+        if name is None:
+            continue  # tags outside the extracted subset are skipped
+        if typ == 2:
+            size = n
+            if size <= 4:
+                raw = tiff[val_at : val_at + size]
+            else:
+                (off,) = struct.unpack_from(bo + "I", tiff, val_at)
+                raw = tiff[off : off + size]
+            out[name] = raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+        elif typ == 3 and n == 1:
+            out[name] = struct.unpack_from(bo + "H", tiff, val_at)[0]
+        elif typ == 4 and n == 1:
+            out[name] = struct.unpack_from(bo + "I", tiff, val_at)[0]
+
+
+def parse_exif(data: bytes) -> dict:
+    """Extract the supported EXIF subset from a JPEG's APP1 segment.
+    Returns {} when no EXIF is present; tolerates either TIFF byte order
+    and skips tags outside the subset."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and payload[:6] == b"Exif\x00\x00":
+            tiff = payload[6:]
+            try:
+                if tiff[:2] == b"II":
+                    bo = "<"
+                elif tiff[:2] == b"MM":
+                    bo = ">"
+                else:
+                    return {}
+                magic, ifd0_at = struct.unpack_from(bo + "HI", tiff, 2)
+                if magic != 42:
+                    return {}
+                out: dict = {}
+                _parse_ifd(tiff, bo, ifd0_at, out)
+                return out
+            except (struct.error, IndexError):
+                return {}
+        if marker == 0xDA:  # entropy data follows; EXIF must precede it
+            break
+        pos += 2 + seglen
+    return {}
+
+
 # ---------------------------------------------------------------- encoder
 
 
@@ -334,6 +474,8 @@ def encode_jpeg(
     subsample: bool = False,
     grayscale: bool = False,
     restart_interval: int = 0,
+    exif: dict | None = None,
+    exif_little_endian: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
 
@@ -346,6 +488,11 @@ def encode_jpeg(
     grayscale: encode the luma channel only (1-component stream).
     restart_interval: if > 0, emit DRI and an RSTn marker every that
     many MCUs (resynchronization points, common in web encoders).
+    exif: optional metadata dict written as an APP1 Exif/TIFF segment —
+    supported keys: make, model, software, description, datetime
+    ("YYYY:MM:DD HH:MM:SS"), orientation (1-8), exif_w, exif_h.
+    exif_little_endian: write the TIFF block as "II" instead of "MM"
+    (both byte orders occur in the wild; the parser reads either).
     """
     h, w, c = pixels.shape
     if c != 3 or pixels.dtype != np.uint8:
@@ -386,6 +533,8 @@ def encode_jpeg(
         b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
+    if exif:
+        out += _exif_app1(exif, exif_little_endian)
     out += _dqt_segment(0, ql)
     if not grayscale:
         out += _dqt_segment(1, qc)
