@@ -1483,6 +1483,67 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_image_fmt_sniff(spark, sf_dir):
+    """Magic-byte format triage (multimodal.sniff_formats): 60 payloads
+    actually encoded as the 5-format cycle fmt[d%5] but CLAIMED as
+    fmt[(d + d%2) % 5] — every odd doc lies about its format, the way
+    mislabeled Content-Type rows do in a real crawl. The sniffer must
+    recover the true format from the bytes alone; the oracle re-derives
+    claimed/sniffed/fmt_ok from doc_id arithmetic, so a sniffer fooled by
+    any magic prefix (including qnt's embedded PNG) hash-mismatches."""
+    import hashlib
+
+    from webscraping_spark.operators.multimodal import sniff_formats
+    from webscraping_spark.sources import images
+
+    fmts = ("png", "bmp", "ppm", "qnt", "jpeg")
+    docs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id").collect()
+    )
+    rows = []
+    for r in docs:
+        d = int(r["doc_id"])
+        image_id = hashlib.md5(str(d).encode()).hexdigest()
+        actual = fmts[d % 5]
+        claimed = fmts[(d + d % 2) % 5]
+        px = images.synth_pixels(image_id, 16 + d % 17, 16 + d % 13)
+        rows.append((image_id, bytearray(images.encode_image(px, actual)), claimed))
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return sniff_formats(pages)
+
+
+def q_image_thumbnails(spark, sf_dir):
+    """Orientation-aware thumbnailing (multimodal.thumbnail_images): 48
+    planted images with dims from doc_id arithmetic; jpeg rows (odd docs)
+    carry EXIF orientation 1 + d%8, and orientations 5-8 swap the
+    effective dims before the integer downscale contract
+    max(1, dim*24 // longest). The oracle re-derives the output dims in
+    SQL, so a thumbnailer that ignores orientation, mis-rounds the scale
+    or resizes already-small images hash-mismatches. (Pixel fidelity is
+    pinned by pytest PSNR checks; dims are the cross-engine contract.)"""
+    import hashlib
+
+    from webscraping_spark.operators.multimodal import thumbnail_images
+    from webscraping_spark.sources import images, jpeg
+
+    docs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select("doc_id").collect()
+    )
+    rows = []
+    for r in docs:
+        d = int(r["doc_id"])
+        image_id = hashlib.md5(str(d).encode()).hexdigest()
+        w, h = 8 + (d * 5) % 120, 8 + (d * 9) % 120
+        px = images.synth_pixels(image_id, w, h)
+        if d % 2 == 1:
+            payload = jpeg.encode_jpeg(px, exif={"orientation": 1 + d % 8})
+        else:
+            payload = images.encode_image(px, "png")
+        rows.append((image_id, bytearray(payload)))
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return thumbnail_images(pages, max_side=24).select("image_id", "w", "h", "fmt")
+
+
 def q_jpeg_exif_extract(spark, sf_dir):
     """EXIF metadata extraction through a REAL APP1/TIFF encode->parse
     roundtrip (sources/jpeg.py, operators/multimodal.extract_exif): 48
@@ -1698,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "sitemap_extract": q_sitemap_extract,
         "image_caption_filter": q_image_caption_filter,
+        "image_fmt_sniff": q_image_fmt_sniff,
+        "image_thumbnails": q_image_thumbnails,
         "jpeg_exif_extract": q_jpeg_exif_extract,
         "recrawl_priorities": q_recrawl_priorities,
         "pair_curation_pipeline": q_pair_curation_pipeline,
@@ -3105,6 +3168,54 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(image_id || ':s42'), 1, 8))::UBIGINT
                              AS b
                   FROM reps)
+        """,
+        "image_fmt_sniff": """
+            -- re-derive actual/claimed formats from doc_id; the Spark
+            -- side must recover the actual format from magic bytes alone
+            WITH f AS (
+                SELECT doc_id,
+                       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                            WHEN 2 THEN 'ppm' WHEN 3 THEN 'qnt'
+                            ELSE 'jpeg' END AS actual,
+                       CASE (doc_id + doc_id % 2) % 5
+                            WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                            WHEN 2 THEN 'ppm' WHEN 3 THEN 'qnt'
+                            ELSE 'jpeg' END AS claimed
+                FROM documents WHERE doc_id < 60
+            )
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                   claimed AS claimed_fmt,
+                   actual AS sniffed_fmt,
+                   (claimed = actual) AS fmt_ok
+            FROM f
+        """,
+        "image_thumbnails": """
+            -- re-derive thumbnail dims: EXIF orientations 5-8 (odd docs,
+            -- planted as 1 + doc_id % 8) swap effective dims before the
+            -- integer downscale max(1, dim*24 // longest); dims <= 24
+            -- pass through
+            WITH dims AS (
+                SELECT doc_id,
+                       8 + (doc_id * 5) % 120 AS w0,
+                       8 + (doc_id * 9) % 120 AS h0,
+                       CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 8
+                            ELSE 1 END AS orient
+                FROM documents WHERE doc_id < 48
+            ), eff AS (
+                SELECT doc_id,
+                       CASE WHEN orient >= 5 THEN h0 ELSE w0 END AS we,
+                       CASE WHEN orient >= 5 THEN w0 ELSE h0 END AS he
+                FROM dims
+            )
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                   CAST(CASE WHEN GREATEST(we, he) > 24
+                             THEN GREATEST(1, (we * 24) // GREATEST(we, he))
+                             ELSE we END AS INTEGER) AS w,
+                   CAST(CASE WHEN GREATEST(we, he) > 24
+                             THEN GREATEST(1, (he * 24) // GREATEST(we, he))
+                             ELSE he END AS INTEGER) AS h,
+                   'jpeg' AS fmt
+            FROM eff
         """,
         "jpeg_exif_extract": """
             -- re-derive every planted EXIF field from doc_id; the Spark

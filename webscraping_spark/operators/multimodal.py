@@ -230,6 +230,120 @@ def resize_images(pages: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+def sniff_formats(pages: DataFrame) -> DataFrame:
+    """Magic-byte format identification: (image_id, claimed_fmt,
+    sniffed_fmt, fmt_ok). Crawled payloads routinely contradict their
+    Content-Type / extension — curation pipelines (LAION et al.) drop or
+    re-route rows whose bytes disagree with their metadata, and this is
+    the operator that finds them. sniffed_fmt is NULL for unrecognizable
+    bytes; fmt_ok means the claim matches the bytes. mapInPandas over
+    (image_id, bytes, fmt); the sniff itself reads <= 8 bytes per row."""
+
+    out_schema = (
+        "image_id string, claimed_fmt string, sniffed_fmt string, fmt_ok boolean"
+    )
+
+    def sniff(batches):
+        for pdf in batches:
+            n = len(pdf)
+            sniffed = np.full(n, None, dtype=object)
+            for i in range(n):
+                sniffed[i] = images.sniff_format(bytes(pdf["bytes"].iloc[i]))
+            claimed = pdf["fmt"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "claimed_fmt": claimed,
+                    "sniffed_fmt": sniffed,
+                    "fmt_ok": np.array(
+                        [claimed[i] == sniffed[i] for i in range(n)], dtype=bool
+                    ),
+                }
+            )
+
+    return pages.select("image_id", "bytes", "fmt").mapInPandas(sniff, out_schema)
+
+
+# EXIF Orientation tag -> numpy transform that renders the image upright
+# (TIFF 6.0 / EXIF 2.3 semantics)
+_ORIENT = {
+    1: lambda px: px,
+    2: lambda px: px[:, ::-1],
+    3: lambda px: px[::-1, ::-1],
+    4: lambda px: px[::-1, :],
+    5: lambda px: px.transpose(1, 0, 2),
+    6: lambda px: np.rot90(px, k=3),
+    7: lambda px: px[::-1, ::-1].transpose(1, 0, 2),
+    8: lambda px: np.rot90(px, k=1),
+}
+
+
+def thumbnail_images(pages: DataFrame, max_side: int = 32) -> DataFrame:
+    """Orientation-aware thumbnailing: sniff the real format, decode,
+    apply the EXIF Orientation transform (JPEGs; rotations swap w/h),
+    downscale so max(w, h) == max_side, re-encode as JPEG. Returns
+    (image_id, bytes, w, h, fmt).
+
+    Output dims use pure integer arithmetic — after orientation, if
+    max(W, H) > max_side then out = max(1, (dim * max_side) // max(W, H))
+    — so they are re-derivable exactly by any engine (the driver oracle
+    recomputes them in SQL). Resampling is the half-pixel-centered
+    bilinear kernel shared with the DCT hash (images.bilinear_resize),
+    vectorized per channel. mapInPandas; undecodable rows drop."""
+    if max_side < 1:
+        raise ValueError("max_side must be >= 1")
+
+    out_schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def thumb(batches):
+        from webscraping_spark.sources.jpeg import parse_exif
+
+        for pdf in batches:
+            ids, blobs, ws, hs = [], [], [], []
+            for i in range(len(pdf)):
+                raw = bytes(pdf["bytes"].iloc[i])
+                try:
+                    px = images.decode_auto(raw)
+                except (ValueError, KeyError, IndexError):
+                    continue
+                if images.sniff_format(raw) == "jpeg":
+                    try:
+                        orient = int(parse_exif(raw).get("orientation", 1))
+                    except ValueError:
+                        orient = 1
+                    px = _ORIENT.get(orient, _ORIENT[1])(px)
+                h, w = px.shape[:2]
+                longest = max(w, h)
+                if longest > max_side:
+                    ow = max(1, (w * max_side) // longest)
+                    oh = max(1, (h * max_side) // longest)
+                    out = np.empty((oh, ow, 3), dtype=np.uint8)
+                    fpx = px.astype(np.float64)
+                    for c in range(3):
+                        out[:, :, c] = np.clip(
+                            np.round(images.bilinear_resize(fpx[:, :, c], oh, ow)),
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                    px = out
+                    w, h = ow, oh
+                ids.append(pdf["image_id"].iloc[i])
+                blobs.append(bytearray(images.encode_image(np.ascontiguousarray(px), "jpeg")))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": blobs,
+                    "w": np.array(ws, dtype=np.int32),
+                    "h": np.array(hs, dtype=np.int32),
+                    "fmt": ["jpeg"] * len(ids),
+                }
+            )
+
+    return pages.select("image_id", "bytes").mapInPandas(thumb, out_schema)
+
+
 def extract_exif(pages: DataFrame) -> DataFrame:
     """Extract the EXIF metadata subset from JPEG payloads: (image_id,
     has_exif, make, model, software, description, datetime, orientation,

@@ -226,6 +226,41 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     return _DECODERS[fmt](data)
 
 
+# magic-byte prefixes, checked in order (QNT0 before PNG: the qnt payload
+# embeds a PNG after its own tag)
+_MAGIC = (
+    ("qnt", b"QNT0"),
+    ("png", _PNG_SIG),
+    ("jpeg", b"\xff\xd8\xff"),
+    ("gif", b"GIF87a"),
+    ("gif", b"GIF89a"),
+    ("bmp", b"BM"),
+    ("ppm", b"P6"),
+)
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Identify an image payload by magic bytes, ignoring whatever the
+    metadata claims. Real crawls cannot trust Content-Type or file
+    extensions — mislabeled payloads are routine — so decode paths key on
+    this, not on the declared format. Returns None for unrecognized
+    bytes."""
+    head = bytes(data[:8])
+    for fmt, magic in _MAGIC:
+        if head.startswith(magic):
+            return fmt
+    return None
+
+
+def decode_auto(data: bytes) -> np.ndarray:
+    """Sniff-then-decode: decode_image with the format taken from the
+    payload bytes themselves."""
+    fmt = sniff_format(data)
+    if fmt is None:
+        raise ValueError("unrecognized image payload")
+    return _DECODERS[fmt](data)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
