@@ -1483,6 +1483,70 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def _directive_pages(spark, sf_dir):
+    """Planted directive HTML, one page per doc (pure DataFrame ops, no
+    collect): meta-robots content cycles over 6 token lists (including
+    the empty no-meta case and 'none' ≡ both), attribute order alternates
+    by parity, and every 3rd doc declares an absolute rel=canonical onto
+    one of 10 shared targets."""
+    d = F.col("doc_id")
+    content = F.element_at(
+        F.array(
+            F.lit(""), F.lit("noindex"), F.lit("nofollow"),
+            F.lit("noindex, nofollow"), F.lit("all"), F.lit("none"),
+        ),
+        ((d % 6) + 1).cast("int"),
+    )
+    meta = F.when(content == "", F.lit("")).otherwise(
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit('<meta name="robots" content="'), content, F.lit('">')),
+        ).otherwise(
+            F.concat(F.lit('<meta content="'), content, F.lit('" name="robots">'))
+        )
+    )
+    canon = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="http://canon.com/p'),
+            (d % 10).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    return _t(spark, sf_dir, "documents").filter(d < 120).select(
+        F.concat(F.lit("http://site"), d.cast("string"), F.lit(".com/page")).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("<html><head>"), meta, canon,
+            F.lit('</head><body><a href="/x">x</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+def q_page_directives(spark, sf_dir):
+    """Page-level directive extraction (operators/directives.py): meta
+    robots noindex/nofollow token parsing (comma/space lists, 'none' ≡
+    both, either attribute order) and rel=canonical href extraction, as
+    one codegen projection. The oracle re-derives every flag and href
+    from doc_id arithmetic — a token matcher that substring-matches, or
+    an extractor tied to one attribute order, hash-mismatches."""
+    from webscraping_spark.operators.directives import extract_directives
+
+    return extract_directives(_directive_pages(spark, sf_dir))
+
+
+def q_canonical_clusters(spark, sf_dir):
+    """rel=canonical dedup (operators/directives.py canonical_clusters):
+    pages fold onto their declared canonical target (own URL otherwise);
+    the representative is the group's minimum URL. One hash partitioning
+    on the target; the oracle re-derives targets and the min-over-group
+    in SQL."""
+    from webscraping_spark.operators.directives import canonical_clusters
+
+    return canonical_clusters(_directive_pages(spark, sf_dir))
+
+
 def q_image_fmt_sniff(spark, sf_dir):
     """Magic-byte format triage (multimodal.sniff_formats): 60 payloads
     actually encoded as the 5-format cycle fmt[d%5] but CLAIMED as
@@ -1759,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality": q_url_quality,
         "sitemap_extract": q_sitemap_extract,
         "image_caption_filter": q_image_caption_filter,
+        "page_directives": q_page_directives,
+        "canonical_clusters": q_canonical_clusters,
         "image_fmt_sniff": q_image_fmt_sniff,
         "image_thumbnails": q_image_thumbnails,
         "jpeg_exif_extract": q_jpeg_exif_extract,
@@ -3168,6 +3234,36 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(image_id || ':s42'), 1, 8))::UBIGINT
                              AS b
                   FROM reps)
+        """,
+        "page_directives": """
+            -- re-derive every directive from doc_id: content list cycles
+            -- d%6 (''=no meta, 'none' = noindex AND nofollow), canonical
+            -- on every 3rd doc onto one of 10 shared absolute targets
+            SELECT 'http://site' || doc_id || '.com/page' AS url,
+                   (doc_id % 6) IN (1, 3, 5) AS noindex,
+                   (doc_id % 6) IN (2, 3, 5) AS nofollow,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'http://canon.com/p' || (doc_id % 10)
+                        END AS canonical_raw,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'http://canon.com/p' || (doc_id % 10)
+                        END AS canonical
+            FROM documents WHERE doc_id < 120
+        """,
+        "canonical_clusters": """
+            -- targets + min-url representative re-derived in SQL
+            WITH pages AS (
+                SELECT 'http://site' || doc_id || '.com/page' AS url,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'http://canon.com/p' || (doc_id % 10)
+                            ELSE 'http://site' || doc_id || '.com/page'
+                            END AS canonical_target
+                FROM documents WHERE doc_id < 120
+            )
+            SELECT url, canonical_target,
+                   url = min(url) OVER (PARTITION BY canonical_target)
+                       AS is_rep
+            FROM pages
         """,
         "image_fmt_sniff": """
             -- re-derive actual/claimed formats from doc_id; the Spark

@@ -89,6 +89,13 @@ class CrawlConfig:
     # the same validity chain (spam/adult/trap link shapes never reach
     # the frontier). Pure codegen; rides the link-extraction stage free.
     url_quality: bool = False
+    # opt-in page-level directive gate (operators/directives.py): honor
+    # meta-robots nofollow and per-anchor rel=nofollow when pushing links
+    # to the frontier (documented Google/Bing semantics — robots.txt
+    # gates fetching; page directives gate link FOLLOWING). Gated links
+    # still consume their position in the per-page link cap, exactly like
+    # media-extension-gated links, so ordering semantics are unchanged.
+    honor_page_directives: bool = False
     # cache TTL on the politeness timeline, seconds (PersistentDict
     # `expires`, pdict.py:51,202-205): a page fetched at time t is served
     # from cache while now - t < expires, re-fetched after. None = never
@@ -1134,7 +1141,7 @@ class CrawlJob:
         pages = resolved.filter(F.col("serve_ok"))
         if cfg.max_depth is not None:
             pages = pages.filter(F.col("depth") != cfg.max_depth)
-        links = pages.select(
+        page_cols = [
             F.col("url").alias("page_url"),
             F.col("seq").alias("page_seq"),
             F.col("depth").alias("page_depth"),
@@ -1142,8 +1149,32 @@ class CrawlJob:
             # redirected pages resolve relative hrefs against the chain's
             # rewrite base, not the page URL (download.py:264-268)
             F.col("serve_base"),
-            F.posexplode(udfs.find_links_col(F.col("serve_html"))).alias("pos", "raw"),
-        )
+        ]
+        if cfg.honor_page_directives:
+            # whole-anchor-tag extraction keeps the SAME anchor set and
+            # document-order positions as find_links_col (href required),
+            # but exposes the rel attribute; page-level nofollow is one
+            # regexp per page, computed before the explode
+            from webscraping_spark.operators import directives as dv
+
+            links = pages.select(
+                *page_cols,
+                dv.nofollow_page_col(F.col("serve_html")).alias("_pg_nofollow"),
+                F.posexplode(dv.anchor_tags_col(F.col("serve_html"))).alias(
+                    "pos", "_tag"
+                ),
+            ).select(
+                "*",
+                F.regexp_extract(F.col("_tag"), dv._A_HREF, 1).alias("raw"),
+                F.col("_tag").rlike(dv._A_NOFOLLOW).alias("_a_nofollow"),
+            ).drop("_tag")
+        else:
+            links = pages.select(
+                *page_cols,
+                F.posexplode(udfs.find_links_col(F.col("serve_html"))).alias(
+                    "pos", "raw"
+                ),
+            )
         # tiered canonicalization: clean/simple links stay JVM-side, only
         # the dirty tail pays the Arrow round-trip (parity-tested split —
         # the round-1 hot path sent EVERY link through the pandas UDF);
@@ -1177,9 +1208,13 @@ class CrawlJob:
             from webscraping_spark.operators.urlfilter import url_quality_keep_col
 
             valid = valid & url_quality_keep_col(F.col("link"))
+        if cfg.honor_page_directives:
+            valid = valid & ~F.col("_pg_nofollow") & ~F.col("_a_nofollow")
         links = links.withColumn("is_valid_pre", valid).withColumn(
             "link_hash", F.xxhash64("link")
         ).withColumn("depth", F.col("page_depth") + 1)
+        if cfg.honor_page_directives:
+            links = links.drop("_pg_nofollow", "_a_nofollow")
         if self.robots is not None:
             allowed_links = robots_gate(
                 links.select("link", F.col("link_domain").alias("domain")).distinct(),
