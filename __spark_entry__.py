@@ -1483,6 +1483,86 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_cache_revalidation_policy(spark, sf_dir):
+    """RFC 9111 freshness policy (operators/revalidate.py cache_policy):
+    200 planted cache entries cycle validators (etag d%2, last-modified
+    d%3) and Cache-Control headers (none / max-age=60 / no-cache /
+    no-store / max-age=120) against now=150s ttl=80s, so every ladder
+    branch fires — no-store beats freshness, no-cache forces revalidation,
+    max-age overrides the default TTL both directions, ETag takes
+    precedence as the single sent validator. The oracle re-derives
+    action + conditional headers from doc_id arithmetic."""
+    from webscraping_spark.operators.revalidate import cache_policy
+
+    d = F.col("doc_id")
+    cached = _t(spark, sf_dir, "documents").filter(d < 200).select(
+        F.concat(F.lit("http://r"), d.cast("string"), F.lit(".com/")).alias("url"),
+        (d * 1_000_000).cast("long").alias("fetched_at_us"),
+        F.when(d % 2 == 0, F.concat(F.lit('"e'), d.cast("string"), F.lit('"'))).alias(
+            "etag"
+        ),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("Mon, 0"), (1 + d % 7).cast("string"), F.lit(" Jan 2024")),
+        ).alias("last_modified"),
+        F.element_at(
+            F.array(
+                F.lit(None).cast("string"),
+                F.lit("max-age=60"),
+                F.lit("no-cache"),
+                F.lit("no-store, private"),
+                F.lit("public, max-age=120, must-revalidate"),
+            ),
+            ((d % 5) + 1).cast("int"),
+        ).alias("cache_control"),
+    )
+    return cache_policy(cached, now_us=150_000_000, default_ttl_us=80_000_000).select(
+        "url", "action", "if_none_match", "if_modified_since"
+    )
+
+
+def q_cache_304_merge(spark, sf_dir):
+    """304-merge (operators/revalidate.py merge_revalidated): 120 cached
+    entries against a response batch where d%4 routes no-response / 304 /
+    200 / 500 — body kept vs replaced, fetched_at bumped only on
+    304/200, validators refreshed with coalesce-keep semantics, errors
+    surfaced as last_status. One left equi-join; the oracle re-derives
+    every merged column from doc_id arithmetic."""
+    from webscraping_spark.operators.revalidate import merge_revalidated
+
+    d = F.col("doc_id")
+    base = _t(spark, sf_dir, "documents").filter(d < 120)
+    cached = base.select(
+        F.concat(F.lit("http://m"), d.cast("string"), F.lit(".com/")).alias("url"),
+        F.concat(F.lit("old-"), d.cast("string")).alias("body"),
+        d.cast("long").alias("fetched_at_us"),
+        F.when(d % 3 == 0, F.concat(F.lit('"o'), d.cast("string"), F.lit('"'))).alias(
+            "etag"
+        ),
+        F.when(d % 5 == 0, F.concat(F.lit("lm-"), d.cast("string"))).alias(
+            "last_modified"
+        ),
+    )
+    responses = base.filter(d % 4 != 0).select(
+        F.concat(F.lit("http://m"), d.cast("string"), F.lit(".com/")).alias("url"),
+        F.when(d % 4 == 1, F.lit(304))
+        .when(d % 4 == 2, F.lit(200))
+        .otherwise(F.lit(500))
+        .cast("int")
+        .alias("status_code"),
+        F.when(d % 4 == 2, F.concat(F.lit("new-"), d.cast("string"))).alias("new_body"),
+        F.when(d % 3 == 1, F.concat(F.lit('"n'), d.cast("string"), F.lit('"'))).alias(
+            "new_etag"
+        ),
+        F.when(d % 5 == 1, F.concat(F.lit("nlm-"), d.cast("string"))).alias(
+            "new_last_modified"
+        ),
+    )
+    return merge_revalidated(cached, responses, now_us=999_000_000).select(
+        "url", "body", "fetched_at_us", "etag", "last_modified", "last_status"
+    )
+
+
 def _directive_pages(spark, sf_dir):
     """Planted directive HTML, one page per doc (pure DataFrame ops, no
     collect): meta-robots content cycles over 6 token lists (including
@@ -1825,6 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_filter": q_image_caption_filter,
         "page_directives": q_page_directives,
         "canonical_clusters": q_canonical_clusters,
+        "cache_revalidation_policy": q_cache_revalidation_policy,
+        "cache_304_merge": q_cache_304_merge,
         "image_fmt_sniff": q_image_fmt_sniff,
         "image_thumbnails": q_image_thumbnails,
         "jpeg_exif_extract": q_jpeg_exif_extract,
@@ -3234,6 +3316,71 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(image_id || ':s42'), 1, 8))::UBIGINT
                              AS b
                   FROM reps)
+        """,
+        "cache_revalidation_policy": """
+            -- mirror the RFC 9111 ladder: no-store > no-cache > fresh >
+            -- validator-revalidate > refetch; ETag is the single sent
+            -- validator; max-age overrides the 80s default TTL
+            WITH c AS (
+                SELECT doc_id AS d,
+                       (doc_id % 5 = 3) AS no_store,
+                       (doc_id % 5 = 2) AS no_cache,
+                       (doc_id % 2 = 0) AS has_etag,
+                       (doc_id % 3 = 0) AS has_lm,
+                       (150 - doc_id) < (CASE doc_id % 5
+                                              WHEN 1 THEN 60
+                                              WHEN 4 THEN 120
+                                              ELSE 80 END) AS fresh
+                FROM documents WHERE doc_id < 200
+            ), a AS (
+                SELECT *,
+                       CASE WHEN no_store THEN 'refetch'
+                            WHEN no_cache AND (has_etag OR has_lm)
+                                 THEN 'revalidate'
+                            WHEN no_cache THEN 'refetch'
+                            WHEN fresh THEN 'serve'
+                            WHEN has_etag OR has_lm THEN 'revalidate'
+                            ELSE 'refetch' END AS action
+                FROM c
+            )
+            SELECT 'http://r' || d || '.com/' AS url, action,
+                   CASE WHEN action = 'revalidate' AND has_etag
+                        THEN '"e' || d || '"' END AS if_none_match,
+                   CASE WHEN action = 'revalidate' AND NOT has_etag
+                             AND has_lm
+                        THEN 'Mon, 0' || (1 + d % 7) || ' Jan 2024'
+                        END AS if_modified_since
+            FROM a
+        """,
+        "cache_304_merge": """
+            -- re-derive the merged cache row: d%4 routes no-response /
+            -- 304 / 200 / 500; 304 keeps the body, 200 replaces it, both
+            -- bump fetched_at and coalesce-refresh validators
+            WITH m AS (
+                SELECT doc_id AS d, doc_id % 4 AS r,
+                       CASE WHEN doc_id % 3 = 0 THEN '"o' || doc_id || '"'
+                            END AS old_etag,
+                       CASE WHEN doc_id % 5 = 0 THEN 'lm-' || doc_id
+                            END AS old_lm,
+                       CASE WHEN doc_id % 3 = 1 THEN '"n' || doc_id || '"'
+                            END AS new_etag,
+                       CASE WHEN doc_id % 5 = 1 THEN 'nlm-' || doc_id
+                            END AS new_lm
+                FROM documents WHERE doc_id < 120
+            )
+            SELECT 'http://m' || d || '.com/' AS url,
+                   CASE WHEN r = 2 THEN 'new-' || d
+                        ELSE 'old-' || d END AS body,
+                   CAST(CASE WHEN r IN (1, 2) THEN 999000000
+                             ELSE d END AS BIGINT) AS fetched_at_us,
+                   CASE WHEN r IN (1, 2) THEN coalesce(new_etag, old_etag)
+                        ELSE old_etag END AS etag,
+                   CASE WHEN r IN (1, 2) THEN coalesce(new_lm, old_lm)
+                        ELSE old_lm END AS last_modified,
+                   CAST(CASE r WHEN 1 THEN 304 WHEN 2 THEN 200
+                               WHEN 3 THEN 500 END AS INTEGER)
+                       AS last_status
+            FROM m
         """,
         "page_directives": """
             -- re-derive every directive from doc_id: content list cycles
