@@ -314,3 +314,24 @@ class TestBucketedStateProbes:
         j2.run([])
         assert j2.metrics.num_downloads == 8
         assert j2._visited_full().count() == 8
+
+
+class TestManifestRecordCounts:
+    def test_per_file_rows_in_manifest(self, spark, tmp_path):
+        """Iceberg parity: every manifest data-file entry carries its
+        record count (read from the parquet footer, no extra job), and
+        the counts sum to the committed row count — per partition when
+        the commit is hive-partitioned."""
+        from pyspark.sql import functions as F
+
+        from webscraping_spark.sources.snapshots import SnapshotTable
+
+        df = spark.range(100).withColumn("bucket", F.pmod(F.col("id"), F.lit(4)))
+        tbl = SnapshotTable(str(tmp_path / "t"), "t")
+        tbl.commit(df, superstep=0, partition_by="bucket")
+        m = tbl.read_manifest()
+        assert m["files"], "no data files recorded"
+        assert all(isinstance(f["rows"], int) for f in m["files"])
+        assert sum(f["rows"] for f in m["files"]) == 100
+        # partitioned layout: each file path carries its partition value
+        assert all("bucket=" in f["path"] for f in m["files"])

@@ -24,6 +24,17 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _parquet_rows(path: str) -> int | None:
+    """Row count from the parquet footer (local metadata read; None if
+    unreadable — the manifest stays writable even for exotic files)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.ParquetFile(path).metadata.num_rows)
+    except Exception:
+        return None
+
+
 class SnapshotTable:
     def __init__(self, root: str, name: str):
         self.root = root
@@ -87,7 +98,14 @@ class SnapshotTable:
             writer = writer.partitionBy(partition_by)
         writer.parquet(snap_dir)
         files = [
-            {"path": os.path.join(d, f), "bytes": os.path.getsize(os.path.join(d, f))}
+            {
+                "path": os.path.join(d, f),
+                "bytes": os.path.getsize(os.path.join(d, f)),
+                # Iceberg manifests carry record_count per data file; the
+                # parquet footer has it already (no extra Spark job —
+                # a local metadata read per file)
+                "rows": _parquet_rows(os.path.join(d, f)),
+            }
             for d, _, fs in os.walk(snap_dir)
             for f in fs
             if f.endswith(".parquet")
