@@ -1453,6 +1453,52 @@ def q_sitemap_extract(spark, sf_dir):
     return expand_sitemaps(pages)
 
 
+def q_image_pair_harvest(spark, sf_dir):
+    """Image-caption pair harvesting (operators/harvest.py — the
+    LAION/Common-Crawl pair-table construction stage): deterministic HTML
+    planted per doc_id cycles six shapes — double-quoted src+alt, single-
+    quoted src+title (no alt), uppercase unquoted src with the decorative
+    alt="" marker, a figure/figcaption block (entities + nested tags)
+    followed by a loose second img, a non-fetchable data: URI, and a
+    srcset whose candidate order flips by (doc_id div 6) % 2 so the best
+    pick is provably max-descriptor, not last. One codegen projection +
+    posexplode: zero shuffle, zero Python. The oracle re-plants the
+    identical HTML and re-runs the same tag/attr/figure regexes, entity
+    chain, whitespace collapse and struct-max srcset pick in DuckDB."""
+    from webscraping_spark.operators.harvest import harvest_image_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    img = F.concat(F.lit("http://img"), ds, F.lit(".cdn.com/"))
+    srcset_lo = F.concat(img, F.lit("s3.jpg 300w, "), img, F.lit("s9.jpg 900w"))
+    srcset_hi = F.concat(img, F.lit("s9.jpg 900w, "), img, F.lit("s3.jpg 300w"))
+    body = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit('<img src="'), img, F.lit('a.png" alt="cat '), ds, F.lit(' photo">')))
+        .when(d % 6 == 1, F.concat(
+            F.lit("<img src='/rel/img"), ds, F.lit(".jpg' title='tip "), ds, F.lit("'>")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("<IMG SRC="), img, F.lit('u.gif ALT="">')))
+        .when(d % 6 == 3, F.concat(
+            F.lit('<figure><img src="'), img,
+            F.lit('f.png"><figcaption> Fig &amp; <b>cap</b> '), ds,
+            F.lit(' </figcaption></figure><img src="'), img,
+            F.lit('g.png" alt="second '), ds, F.lit('">')))
+        .when(d % 6 == 4, F.concat(
+            F.lit('<img src="data:image/png;base64,AAAA" alt="inline '), ds, F.lit('">')))
+        .otherwise(F.concat(
+            F.lit('<img src="'), img, F.lit('s.jpg" srcset="'),
+            F.when(F.expr("doc_id div 6") % 2 == 0, srcset_lo).otherwise(srcset_hi),
+            F.lit('" alt="big '), ds, F.lit('">')))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://hv"), ds, F.lit(".com/p")).alias("url"),
+        F.concat(F.lit("<html><p>noise &amp; text</p>"), body, F.lit("</html>")).alias("html"),
+    )
+    return harvest_image_pairs(pages)
+
+
 def q_image_caption_filter(spark, sf_dir):
     """LAION/DataComp-style image-caption pair curation
     (multimodal.image_caption_filter): a deterministic pair table is
@@ -1902,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "url_quality": q_url_quality,
         "sitemap_extract": q_sitemap_extract,
+        "image_pair_harvest": q_image_pair_harvest,
         "image_caption_filter": q_image_caption_filter,
         "page_directives": q_page_directives,
         "canonical_clusters": q_canonical_clusters,
@@ -3205,6 +3252,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
                    is_index
             FROM locs
+        """,
+        "image_pair_harvest": r"""
+            -- re-plant the identical HTML (six shapes cycled by doc_id)
+            -- and re-run the same img-tag/attribute/figure regexes,
+            -- entity chain (amp last), whitespace collapse and
+            -- struct-max srcset pick
+            WITH pages AS (
+                SELECT 'http://hv' || doc_id || '.com/p' AS page_url,
+                    '<html><p>noise &amp; text</p>' ||
+                    CASE CAST(doc_id % 6 AS INT)
+                      WHEN 0 THEN '<img src="http://img' || doc_id
+                        || '.cdn.com/a.png" alt="cat ' || doc_id || ' photo">'
+                      WHEN 1 THEN '<img src=''/rel/img' || doc_id
+                        || '.jpg'' title=''tip ' || doc_id || '''>'
+                      WHEN 2 THEN '<IMG SRC=http://img' || doc_id
+                        || '.cdn.com/u.gif ALT="">'
+                      WHEN 3 THEN '<figure><img src="http://img' || doc_id
+                        || '.cdn.com/f.png"><figcaption> Fig &amp; <b>cap</b> '
+                        || doc_id || ' </figcaption></figure><img src="http://img'
+                        || doc_id || '.cdn.com/g.png" alt="second ' || doc_id || '">'
+                      WHEN 4 THEN '<img src="data:image/png;base64,AAAA" alt="inline '
+                        || doc_id || '">'
+                      ELSE '<img src="http://img' || doc_id || '.cdn.com/s.jpg" srcset="'
+                        || CASE WHEN (doc_id // 6) % 2 = 0
+                             THEN 'http://img' || doc_id || '.cdn.com/s3.jpg 300w, http://img'
+                                  || doc_id || '.cdn.com/s9.jpg 900w'
+                             ELSE 'http://img' || doc_id || '.cdn.com/s9.jpg 900w, http://img'
+                                  || doc_id || '.cdn.com/s3.jpg 300w'
+                           END || '" alt="big ' || doc_id || '">'
+                    END || '</html>' AS html
+                FROM documents
+            ), tagged AS (
+                SELECT page_url,
+                       regexp_extract_all(html, '(?i)<img\b[^>]*>') AS imgs,
+                       regexp_extract_all(html, '(?is)<figure\b.*?</figure>') AS figs
+                FROM pages
+            ), exploded AS (
+                SELECT page_url, figs, unnest(imgs) AS tag,
+                       CAST(generate_subscripts(imgs, 1) - 1 AS INT) AS pos
+                FROM tagged
+            ), attrs AS (
+                SELECT page_url, pos,
+                    CASE WHEN regexp_matches(tag, '(?i)\ssrc\s*=') THEN coalesce(
+                        nullif(regexp_extract(tag, '(?i)\ssrc\s*=\s*"([^"]*)"', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\ssrc\s*=\s*''([^'']*)''', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\ssrc\s*=\s*([^\s"''>]+)', 1), ''),
+                        '') END AS src,
+                    CASE WHEN regexp_matches(tag, '(?i)\salt\s*=') THEN coalesce(
+                        nullif(regexp_extract(tag, '(?i)\salt\s*=\s*"([^"]*)"', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\salt\s*=\s*''([^'']*)''', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\salt\s*=\s*([^\s"''>]+)', 1), ''),
+                        '') END AS alt,
+                    CASE WHEN regexp_matches(tag, '(?i)\stitle\s*=') THEN coalesce(
+                        nullif(regexp_extract(tag, '(?i)\stitle\s*=\s*"([^"]*)"', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\stitle\s*=\s*''([^'']*)''', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\stitle\s*=\s*([^\s"''>]+)', 1), ''),
+                        '') END AS title,
+                    CASE WHEN regexp_matches(tag, '(?i)\ssrcset\s*=') THEN coalesce(
+                        nullif(regexp_extract(tag, '(?i)\ssrcset\s*=\s*"([^"]*)"', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\ssrcset\s*=\s*''([^'']*)''', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\ssrcset\s*=\s*([^\s"''>]+)', 1), ''),
+                        '') END AS srcset,
+                    regexp_extract(
+                        list_filter(figs, b -> contains(b, tag))[1],
+                        '(?is)<figcaption\b[^>]*>(.*?)</figcaption>', 1) AS figraw
+                FROM exploded
+            ), shaped AS (
+                SELECT page_url, pos, src, alt, title,
+                    CASE WHEN srcset IS NULL THEN NULL ELSE nullif(struct_extract(
+                        list_sort(list_transform(string_split(srcset, ','), c ->
+                            {'d': CASE WHEN regexp_extract(trim(c), '(\d+)\s*[wx]\s*$', 1) = ''
+                                       THEN 1
+                                       ELSE CAST(regexp_extract(trim(c), '(\d+)\s*[wx]\s*$', 1) AS INT)
+                                  END,
+                             'u': regexp_split_to_array(trim(c), '\s+')[1]}),
+                            'DESC')[1], 'u'), '') END AS srcset_best,
+                    nullif(trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_replace(figraw, '(?s)<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                        '\s+', ' ', 'g')), '') AS figcaption
+                FROM attrs
+            )
+            SELECT page_url, pos, src, srcset_best, alt, title, figcaption,
+                   coalesce(nullif(trim(alt), ''), figcaption,
+                            nullif(trim(title), '')) AS caption,
+                   coalesce(src <> '' AND NOT starts_with(src, 'data:')
+                            AND NOT starts_with(src, '#'), false) AS fetchable
+            FROM shaped
         """,
         "image_caption_filter": r"""
             -- re-plant the identical pair table and re-derive every

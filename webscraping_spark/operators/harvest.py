@@ -1,0 +1,181 @@
+"""Image-caption pair harvesting from crawled HTML.
+
+Reference tie-in: the reference extracts links from fetched pages with
+regexes (download.py:1033-1034 ``get_links``; xpath.py:515-555) and saves
+media bytes one file at a time via ``Download.save_as``
+(download.py:596-616) — it carries images as opaque URLs/bytes and has no
+notion of pairing an image with the text that describes it. At corpus
+scale that pairing IS the product: LAION-5B and DataComp were built
+exactly this way — parse Common Crawl HTML, emit (img src, alt text)
+candidate pairs, then curate (``multimodal.image_caption_filter``). This
+module is the extraction stage the engine was missing between ``fetch``
+and the pair-curation pipeline: fetched HTML -> one row per ``<img>``
+occurrence with every caption signal the page offers.
+
+Caption signals, in the priority order the curation literature uses:
+
+- ``alt``         — the LAION caption source. Missing attribute -> NULL;
+                    ``alt=""`` (the a11y "decorative image" marker) ->
+                    empty string, so curation can distinguish "author
+                    said nothing" from "author said this is decoration".
+- ``figcaption``  — inner text of the ``<figcaption>`` of the *enclosing*
+                    ``<figure>`` block, tags stripped, entities decoded,
+                    whitespace collapsed. The association is containment:
+                    the img tag's exact text is searched in the page's
+                    figure blocks (a per-row array probe — no join).
+- ``title``       — the tooltip attribute, last resort.
+- ``caption``     — convenience coalesce of the above (first non-blank).
+
+Also extracted: ``srcset_best`` — the candidate with the numerically
+largest width/density descriptor (``640w`` / ``2x``; bare candidates
+count as 1), the pair-table build's "fetch the largest rendition" rule.
+Descriptors of different units compare by raw number — a documented
+deterministic contract (true resolution needs viewport context no batch
+job has).
+
+``fetchable`` gates the rows a frontier should fetch: non-empty ``src``
+that is not a ``data:`` URI and not a bare fragment. Relative ``src``
+values are emitted verbatim — the output feeds the same
+``canonicalize_split(base=page_url)`` tier as any extracted link batch
+(functions/udfs.py), exactly like anchors do in the crawl plan.
+
+Everything is JVM expressions in the Java-regex/RE2 shared subset (the
+engine's oracle convention): ``regexp_extract_all`` for img tags and
+figure blocks, per-tag attribute extraction inside ``transform``
+lambdas, figcaption association via a higher-order ``filter`` over the
+page's figure-block array. Zero Python, zero shuffle — at 100 TB the
+harvest fuses into the scan that already reads the fetched page, and a
+billion-page corpus harvests with no exchange at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webscraping_spark.operators.sitemap import xml_unescape_col
+
+# (?i): real pages mix <img>/<IMG>. [^>]*: attributes cannot contain a
+# raw '>' outside quotes in practice; a quoted '>' truncates that tag —
+# the same documented regex-subset semantics as the reference's own
+# regex link extractor (download.py:1033).
+IMG_TAG_PATTERN = r"(?i)<img\b[^>]*>"
+# (?s) so a figure spanning lines matches; non-greedy so adjacent
+# figures don't merge into one block.
+FIGURE_PATTERN = r"(?is)<figure\b.*?</figure>"
+FIGCAPTION_PATTERN = r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>"
+
+
+def _attr_col(tag: Column, name: str) -> Column:
+    """Value of attribute ``name`` in an element tag string.
+
+    Missing attribute -> NULL; present-but-empty -> ''. Handles the
+    three HTML attribute forms: double-quoted, single-quoted, unquoted
+    (HTML5). The mandatory whitespace before the name keeps
+    ``data-alt=`` from matching ``alt=`` (word boundaries alone would
+    not: '-' to 'a' is a boundary)."""
+    dq = F.regexp_extract(tag, r'(?i)\s' + name + r'\s*=\s*"([^"]*)"', 1)
+    sq = F.regexp_extract(tag, r"(?i)\s" + name + r"\s*=\s*'([^']*)'", 1)
+    uq = F.regexp_extract(tag, r"(?i)\s" + name + r"\s*=\s*([^\s\"'>]+)", 1)
+    present = tag.rlike(r"(?i)\s" + name + r"\s*=")
+    val = F.coalesce(
+        F.nullif(dq, F.lit("")), F.nullif(sq, F.lit("")), F.nullif(uq, F.lit(""))
+    )
+    return F.when(present, F.coalesce(val, F.lit(""))).otherwise(F.lit(None))
+
+
+def clean_text_col(t: Column) -> Column:
+    """Element inner text -> caption text: tags stripped, ``&nbsp;`` and
+    the five XML entities decoded (amp last — sitemap.xml_unescape_col's
+    device, so double-escaped entities stay text), whitespace collapsed.
+    Blank -> NULL."""
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    t = xml_unescape_col(F.replace(t, F.lit("&nbsp;"), F.lit(" ")))
+    return F.nullif(F.trim(F.regexp_replace(t, r"\s+", " ")), F.lit(""))
+
+
+def srcset_best_col(srcset: Column) -> Column:
+    """URL of the srcset candidate with the largest descriptor.
+
+    Candidates split on ','; each is ``url [number(w|x)]``; missing
+    descriptor counts as 1. Max by (descriptor, url) struct comparison —
+    deterministic under ties. NULL/blank srcset -> NULL."""
+
+    def cand(c: Column) -> Column:
+        c = F.trim(c)
+        url = F.try_element_at(F.split(c, r"\s+"), F.lit(1))
+        d = F.regexp_extract(c, r"(\d+)\s*[wx]\s*$", 1)
+        return F.struct(
+            F.when(d == "", F.lit(1)).otherwise(d.cast("int")).alias("d"),
+            url.alias("u"),
+        )
+
+    best = F.array_max(F.transform(F.split(srcset, ","), cand))
+    return F.nullif(best["u"], F.lit(""))
+
+
+def image_pairs_col(html: Column) -> Column:
+    """``array<struct<src,srcset_best,alt,title,figcaption>>`` — one
+    element per ``<img>`` occurrence, page order. The figcaption is
+    found by probing the page's figure-block array for the block
+    containing this exact img tag text — a per-row higher-order
+    ``filter``, no join, no shuffle."""
+    figs = F.regexp_extract_all(html, F.lit(FIGURE_PATTERN), F.lit(0))
+
+    def per_tag(tag: Column) -> Column:
+        # try_: the filtered array is empty for an img outside any figure
+        # (ANSI element_at throws on empty arrays)
+        fig = F.try_element_at(F.filter(figs, lambda b: b.contains(tag)), F.lit(1))
+        figcap = clean_text_col(F.regexp_extract(fig, FIGCAPTION_PATTERN, 1))
+        return F.struct(
+            _attr_col(tag, "src").alias("src"),
+            srcset_best_col(_attr_col(tag, "srcset")).alias("srcset_best"),
+            _attr_col(tag, "alt").alias("alt"),
+            _attr_col(tag, "title").alias("title"),
+            figcap.alias("figcaption"),
+        )
+
+    return F.transform(
+        F.regexp_extract_all(html, F.lit(IMG_TAG_PATTERN), F.lit(0)), per_tag
+    )
+
+
+def harvest_image_pairs(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Fetched pages -> image-caption pair candidates.
+
+    Output: ``(page_url, pos, src, srcset_best, alt, title, figcaption,
+    caption, fetchable)`` — ``pos`` is the img's page order, ``caption``
+    the first non-blank of (alt, figcaption, title), ``fetchable`` the
+    frontier gate (non-empty non-data: non-fragment src). Pages with no
+    ``<img>`` produce no rows. One projection + posexplode: zero
+    shuffle, zero Python; output inherits input partitioning and feeds
+    ``canonicalize_split`` (relative srcs) then
+    ``multimodal.image_caption_filter`` downstream."""
+    out = df.select(
+        F.col(url_col).alias("page_url"),
+        F.posexplode(image_pairs_col(F.col(html_col))).alias("pos", "p"),
+    )
+    p = F.col("p")
+    src = p["src"]
+    caption = F.coalesce(
+        F.nullif(F.trim(p["alt"]), F.lit("")),
+        p["figcaption"],
+        F.nullif(F.trim(p["title"]), F.lit("")),
+    )
+    fetchable = F.coalesce(
+        (src != "") & ~src.startswith("data:") & ~src.startswith("#"),
+        F.lit(False),
+    )
+    return out.select(
+        "page_url",
+        "pos",
+        src.alias("src"),
+        p["srcset_best"].alias("srcset_best"),
+        p["alt"].alias("alt"),
+        p["title"].alias("title"),
+        p["figcaption"].alias("figcaption"),
+        caption.alias("caption"),
+        fetchable.alias("fetchable"),
+    )
