@@ -14,6 +14,11 @@ def pixels():
 
 @pytest.mark.parametrize("fmt", sorted(images.LOSSLESS_FORMATS))
 def test_lossless_roundtrip(pixels, fmt):
+    if fmt == "gif":
+        # gif is lossless only within a <=256-color palette (the encoder
+        # refuses to quantize, images.py LOSSLESS_FORMATS note) — palettize
+        # the fixture to 6 levels/channel (<=216 distinct colors).
+        pixels = (pixels // 43) * 43
     data = images.encode_image(pixels, fmt)
     decoded = images.decode_image(data, fmt)
     assert decoded.shape == pixels.shape
