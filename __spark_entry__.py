@@ -1881,6 +1881,70 @@ def q_cdx_surt(spark, sf_dir):
     return cdx_index(caps, num_files=8)
 
 
+def q_main_content(spark, sf_dir):
+    """Main-content extraction (operators/content.py — the jusText/
+    Boilerpipe boilerplate-removal stage between fetch and the quality
+    gates): deterministic pages planted per doc_id carry constant chrome
+    (head/style/nav/header/footer/script, all stripped pre-split) around
+    three body shapes cycled by doc_id%3 — (0) a good paragraph followed
+    by a short prose note, exercising the near-good neighbor keep; (1) a
+    keyword-stuffed paragraph (stop-density gate), a link farm (link-
+    density gate) and an isolated short note, so nothing survives; (2)
+    two good paragraphs around a link farm. One codegen projection, zero
+    shuffle, zero Python. The oracle re-plants the identical HTML and
+    re-derives block split, entity chain, link/stop densities, the
+    lag/lead neighbor rule and the newline-joined main text in DuckDB —
+    a one-character divergence anywhere breaks the string compare."""
+    from webscraping_spark.operators.content import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    good = F.concat(
+        F.lit("<p>The article number "), ds,
+        F.lit(" describes the way in which the engine stores a copy of the "
+              "fetched page and the plan that is used for each of the domains.</p>"))
+    good2 = F.concat(
+        F.lit("<p>It is a fact that the corpus number "), ds,
+        F.lit(" keeps a record of the origin of the documents and of the "
+              "pages that are a part of the crawl.</p>"))
+    short = F.concat(F.lit("<p>A side remark on item "), ds, F.lit(".</p>"))
+    farm = F.lit(
+        '<div><a href="/l1">the first of the links</a> '
+        '<a href="/l2">the second of the links</a> '
+        '<a href="/l3">the third of the links</a></div>')
+    stuffed = F.concat(
+        F.lit("<p>keyword alpha beta gamma delta price deal cheap item "), ds,
+        F.lit(" keyword alpha beta gamma delta price deal cheap item best value</p>"))
+    body = (
+        F.when(d % 3 == 0, F.concat(good, short))
+        .when(d % 3 == 1, F.concat(stuffed, farm, short))
+        .otherwise(F.concat(good, farm, good2))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://mc"), ds, F.lit(".com/p")).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>Site "), ds,
+            F.lit("</title><style>p{color:red}</style></head><body>"
+                  "<header><h1>Hdr "), ds,
+            F.lit('</h1></header><nav><a href="/h">Home</a> '
+                  '<a href="/a">About</a></nav>'),
+            body,
+            F.lit("<footer>Copyright site "), ds,
+            F.lit("</footer><script>var x = "), ds,
+            F.lit(";</script></body></html>"),
+        ).alias("html"),
+    )
+    out = extract_main_content(pages, html_col="html", id_col="url")
+    return out.select(
+        F.col("url").alias("page_url"),
+        "main_text",
+        "n_blocks",
+        "n_kept",
+        "content_chars",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -1960,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priorities": q_recrawl_priorities,
         "pair_curation_pipeline": q_pair_curation_pipeline,
         "cdx_surt": q_cdx_surt,
+        "main_content": q_main_content,
     }
 
 
@@ -3671,5 +3736,119 @@ def oracle_sql() -> dict[str, str]:
                        AS surt,
                    ts, digest, url
             FROM ported
+        """,
+        "main_content": r"""
+            -- re-plant the identical pages and re-derive the whole
+            -- jusText-lite contract: chrome strip, block split, entity
+            -- chain, integer link/stop densities, lag/lead near-good
+            -- rule and the newline-joined main text
+            WITH parts AS (
+                SELECT doc_id,
+                    '<p>The article number ' || doc_id
+                    || ' describes the way in which the engine stores a copy of the fetched page and the plan that is used for each of the domains.</p>'
+                        AS g,
+                    '<p>It is a fact that the corpus number ' || doc_id
+                    || ' keeps a record of the origin of the documents and of the pages that are a part of the crawl.</p>'
+                        AS g2,
+                    '<p>A side remark on item ' || doc_id || '.</p>' AS s,
+                    '<div><a href="/l1">the first of the links</a> <a href="/l2">the second of the links</a> <a href="/l3">the third of the links</a></div>'
+                        AS farm,
+                    '<p>keyword alpha beta gamma delta price deal cheap item '
+                    || doc_id
+                    || ' keyword alpha beta gamma delta price deal cheap item best value</p>'
+                        AS st
+                FROM documents
+            ), pages AS (
+                SELECT 'http://mc' || doc_id || '.com/p' AS page_url,
+                    '<html><head><title>Site ' || doc_id
+                    || '</title><style>p{color:red}</style></head><body><header><h1>Hdr '
+                    || doc_id
+                    || '</h1></header><nav><a href="/h">Home</a> <a href="/a">About</a></nav>'
+                    || CASE CAST(doc_id % 3 AS INT)
+                         WHEN 0 THEN g || s
+                         WHEN 1 THEN st || farm || s
+                         ELSE g || farm || g2 END
+                    || '<footer>Copyright site ' || doc_id
+                    || '</footer><script>var x = ' || doc_id
+                    || ';</script></body></html>' AS html
+                FROM parts
+            ), stripped AS (
+                SELECT page_url, regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(html,
+                    '(?is)<script\b.*?</script>', ' ', 'g'),
+                    '(?is)<style\b.*?</style>', ' ', 'g'),
+                    '(?is)<noscript\b.*?</noscript>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                    '(?is)<head\b.*?</head>', ' ', 'g'),
+                    '(?is)<nav\b.*?</nav>', ' ', 'g'),
+                    '(?is)<header\b.*?</header>', ' ', 'g'),
+                    '(?is)<footer\b.*?</footer>', ' ', 'g'),
+                    '(?is)<aside\b.*?</aside>', ' ', 'g'),
+                    '(?is)<form\b.*?</form>', ' ', 'g') AS body
+                FROM pages
+            ), arr AS (
+                SELECT page_url, regexp_split_to_array(body,
+                    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|section|article|main|blockquote|pre|figure|figcaption|br|hr)\b[^>]*>')
+                    AS blocks
+                FROM stripped
+            ), rawb AS (
+                SELECT page_url, unnest(blocks) AS rb,
+                       generate_subscripts(blocks, 1) AS raw_idx
+                FROM arr
+            ), cleaned AS (
+                SELECT page_url, raw_idx,
+                    trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_replace(rb, '(?s)<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                        '\s+', ' ', 'g')) AS text,
+                    CAST(coalesce(list_sum(list_transform(
+                        regexp_extract_all(rb, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+                        a -> len(trim(regexp_replace(
+                            replace(replace(replace(replace(replace(replace(
+                                regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
+                                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                                '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                            '\s+', ' ', 'g'))))), 0) AS INT) AS link_chars
+                FROM rawb
+            ), nonempty AS (
+                SELECT page_url, text, link_chars,
+                       row_number() OVER (PARTITION BY page_url
+                                          ORDER BY raw_idx) AS idx
+                FROM cleaned WHERE text <> ''
+            ), sig AS (
+                SELECT page_url, idx, text, link_chars,
+                    CAST(len(text) AS INT) AS text_len,
+                    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_words,
+                    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        t -> list_contains(['the','a','an','and','or','of','to',
+                            'in','is','was','it','that','for','on','with','as'],
+                            t))) AS INT) AS stop_hits
+                FROM nonempty
+            ), cls AS (
+                SELECT page_url, idx, text,
+                    (text_len >= 80 AND link_chars * 100 <= text_len * 30
+                     AND stop_hits * 100 >= n_words * 8) AS good,
+                    (text_len >= 20 AND link_chars * 100 <= text_len * 30) AS near
+                FROM sig
+            ), kp AS (
+                SELECT page_url, idx, text,
+                    good OR (near AND (
+                        coalesce(lag(good) OVER w, false)
+                        OR coalesce(lead(good) OVER w, false))) AS keep
+                FROM cls WINDOW w AS (PARTITION BY page_url ORDER BY idx)
+            ), agg AS (
+                SELECT page_url,
+                    CAST(count(*) AS INT) AS n_blocks,
+                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
+                    coalesce(string_agg(text, chr(10) ORDER BY idx)
+                             FILTER (WHERE keep), '') AS main_text
+                FROM kp GROUP BY page_url
+            )
+            SELECT page_url, main_text, n_blocks, n_kept,
+                   CAST(len(main_text) AS INT) AS content_chars
+            FROM agg
         """,
     }
