@@ -1945,6 +1945,37 @@ def q_main_content(spark, sf_dir):
     )
 
 
+def q_webdataset_shards(spark, sf_dir):
+    """WebDataset tar shard packaging (sources/webdataset.py — the
+    LAION-style training-data shard sink): pairs planted per doc_id
+    (md5 key, 0-299-byte payloads, captions NULL every 7th row so the
+    member-omission branch fires) are packed into 8 real USTAR archives
+    by the md5 shard contract. The query returns each shard's manifest
+    plus the ACTUAL tar byte length; the oracle recomputes the manifest
+    and the archive length from the POSIX closed form (512-byte member
+    headers + 512-padded data + 1024 end + 10240 record padding) —
+    any drift in member set, order digest or tar layout breaks it."""
+    from webscraping_spark.sources.webdataset import build_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    pairs = docs.select(
+        F.md5(ds).alias("image_id"),
+        F.repeat(F.lit("x"), (d % 300).cast("int")).cast("binary").alias("payload"),
+        F.when(d % 7 != 0, F.concat(F.lit("cap "), ds)).alias("caption"),
+    )
+    m = build_shards(pairs, {"bin": "payload", "txt": "caption"}, n_shards=8)
+    return m.select(
+        "shard_id",
+        "n_keys",
+        "n_entries",
+        "payload_bytes",
+        "keys_digest",
+        F.length("tar").alias("tar_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2025,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation_pipeline": q_pair_curation_pipeline,
         "cdx_surt": q_cdx_surt,
         "main_content": q_main_content,
+        "webdataset_shards": q_webdataset_shards,
     }
 
 
@@ -3850,5 +3882,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT page_url, main_text, n_blocks, n_kept,
                    CAST(len(main_text) AS INT) AS content_chars
             FROM agg
+        """,
+        "webdataset_shards": r"""
+            -- re-plant the pairs, re-derive shard assignment via the
+            -- md5 contract, and recompute the manifest + the archive
+            -- byte length from the POSIX tar closed form
+            WITH pairs AS (
+                SELECT md5(CAST(doc_id AS VARCHAR)) AS key,
+                       CAST(doc_id % 300 AS BIGINT) AS plen,
+                       CASE WHEN doc_id % 7 <> 0
+                            THEN strlen('cap ' || doc_id) END AS clen
+                FROM documents
+            ), sh AS (
+                SELECT key, plen, clen,
+                       CAST(('0x' || substr(md5(key || ':wds'), 1, 8))::UBIGINT
+                            % 8 AS INT) AS shard_id
+                FROM pairs
+            ), sizes AS (
+                SELECT shard_id, key,
+                       (512 + ((plen + 511) // 512) * 512)
+                       + coalesce(512 + ((clen + 511) // 512) * 512, 0)
+                           AS member_blocks,
+                       plen + coalesce(clen, 0) AS pb,
+                       CASE WHEN clen IS NULL THEN 1 ELSE 2 END AS n_e
+                FROM sh
+            )
+            SELECT shard_id,
+                   CAST(count(*) AS INT) AS n_keys,
+                   CAST(sum(n_e) AS INT) AS n_entries,
+                   CAST(sum(pb) AS BIGINT) AS payload_bytes,
+                   md5(string_agg(key, ',' ORDER BY key)) AS keys_digest,
+                   CAST(((sum(member_blocks) + 1024 + 10239) // 10240)
+                        * 10240 AS INT) AS tar_len
+            FROM sizes GROUP BY shard_id
         """,
     }
