@@ -1976,6 +1976,42 @@ def q_webdataset_shards(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text harvesting (operators/harvest.py
+    harvest_anchor_texts — the link-graph text signal PageRank/BM25
+    consume): planted pages cycle four anchor shapes per doc_id — two
+    double-quoted anchors with inline markup + entities, a single-quoted
+    anchor whose rel carries the nofollow token among others, an
+    uppercase unquoted-attribute anchor with a non-token 'rel=muse', and
+    an image-only anchor (NULL text). One codegen projection +
+    posexplode, zero shuffle, zero Python; the oracle re-plants the HTML
+    and re-runs the element/attribute regexes, entity chain and the
+    robots-meta token grammar in DuckDB."""
+    from webscraping_spark.operators.harvest import harvest_anchor_texts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    body = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit('<p><a href="/a'), ds, F.lit('">First <b>bold</b> link '), ds,
+            F.lit('</a> and <a href="/b">second &amp; last</a></p>')))
+        .when(d % 4 == 1, F.concat(
+            F.lit("<a href='/s"), ds,
+            F.lit("' rel='external nofollow,ugc'>go "), ds, F.lit("</a>")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("<A HREF=http://t"), ds, F.lit(".com/x REL=muse>Link "), ds,
+            F.lit(" now</A>")))
+        .otherwise(F.concat(
+            F.lit('<a href="/i'), ds, F.lit('"><img src="x.png"></a>')))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://at"), ds, F.lit(".com/p")).alias("url"),
+        F.concat(F.lit("<html>"), body, F.lit("</html>")).alias("html"),
+    )
+    return harvest_anchor_texts(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2057,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_surt": q_cdx_surt,
         "main_content": q_main_content,
         "webdataset_shards": q_webdataset_shards,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -3915,5 +3952,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((sum(member_blocks) + 1024 + 10239) // 10240)
                         * 10240 AS INT) AS tar_len
             FROM sizes GROUP BY shard_id
+        """,
+        "anchor_texts": r"""
+            -- re-plant the four anchor shapes and re-run the element /
+            -- attribute regexes, entity chain and nofollow token grammar
+            WITH pages AS (
+                SELECT 'http://at' || doc_id || '.com/p' AS page_url,
+                    '<html>' || CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN '<p><a href="/a' || doc_id
+                        || '">First <b>bold</b> link ' || doc_id
+                        || '</a> and <a href="/b">second &amp; last</a></p>'
+                      WHEN 1 THEN '<a href=''/s' || doc_id
+                        || ''' rel=''external nofollow,ugc''>go ' || doc_id
+                        || '</a>'
+                      WHEN 2 THEN '<A HREF=http://t' || doc_id
+                        || '.com/x REL=muse>Link ' || doc_id || ' now</A>'
+                      ELSE '<a href="/i' || doc_id
+                        || '"><img src="x.png"></a>'
+                    END || '</html>' AS html
+                FROM documents
+            ), els AS (
+                SELECT page_url,
+                       unnest(regexp_extract_all(html, '(?is)<a\b[^>]*>.*?</a>'))
+                           AS el,
+                       CAST(generate_subscripts(
+                           regexp_extract_all(html, '(?is)<a\b[^>]*>.*?</a>'), 1)
+                           - 1 AS INT) AS pos
+                FROM pages
+            ), parts AS (
+                SELECT page_url, pos,
+                    regexp_extract(el, '(?is)^(<a\b[^>]*>)', 1) AS tag,
+                    regexp_extract(el, '(?is)^<a\b[^>]*>(.*)</a>$', 1) AS body
+                FROM els
+            ), attrs AS (
+                SELECT page_url, pos,
+                    CASE WHEN regexp_matches(tag, '(?i)\shref\s*=') THEN coalesce(
+                        nullif(regexp_extract(tag, '(?i)\shref\s*=\s*"([^"]*)"', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\shref\s*=\s*''([^'']*)''', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\shref\s*=\s*([^\s"''>]+)', 1), ''),
+                        '') END AS href,
+                    CASE WHEN regexp_matches(tag, '(?i)\srel\s*=') THEN coalesce(
+                        nullif(regexp_extract(tag, '(?i)\srel\s*=\s*"([^"]*)"', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\srel\s*=\s*''([^'']*)''', 1), ''),
+                        nullif(regexp_extract(tag, '(?i)\srel\s*=\s*([^\s"''>]+)', 1), ''),
+                        '') END AS rel,
+                    nullif(trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_replace(body, '(?s)<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                        '\s+', ' ', 'g')), '') AS anchor_text
+                FROM parts
+            )
+            SELECT page_url, pos, href, anchor_text, rel,
+                   coalesce(regexp_matches(rel,
+                       '(?i)(^|[ \t,])nofollow([ \t,]|$)'), false) AS nofollow
+            FROM attrs
         """,
     }

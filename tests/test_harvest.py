@@ -162,3 +162,60 @@ class TestShape:
         )
         (r,) = resolved.select("img_url").collect()
         assert r["img_url"] == "http://site.com/img/i.png"
+
+
+class TestAnchorTexts:
+    def _anchors(self, spark, pages):
+        from webscraping_spark.operators.harvest import harvest_anchor_texts
+
+        df = spark.createDataFrame(pages, "url string, html string")
+        rows = harvest_anchor_texts(df).orderBy("page_url", "pos").collect()
+        return [r.asDict() for r in rows]
+
+    def test_basic_text_and_order(self, spark):
+        rows = self._anchors(
+            spark,
+            [("u1", '<p><a href="/a">First <b>bold</b> link</a> and '
+                    "<a href='/b'>second &amp; last</a></p>")],
+        )
+        assert [(r["pos"], r["href"], r["anchor_text"]) for r in rows] == [
+            (0, "/a", "First bold link"),
+            (1, "/b", "second & last"),
+        ]
+
+    def test_nofollow_token_grammar(self, spark):
+        rows = self._anchors(
+            spark,
+            [
+                ("u1", '<a href="/x" rel="nofollow">x</a>'),
+                ("u2", '<a href="/y" rel="external NOFOLLOW,ugc">y</a>'),
+                ("u3", '<a href="/z" rel="nofollower">z</a>'),
+                ("u4", '<A HREF=/w>w</A>'),
+            ],
+        )
+        by = {r["page_url"]: r for r in rows}
+        assert by["u1"]["nofollow"] and by["u2"]["nofollow"]
+        assert not by["u3"]["nofollow"]  # substring is not a token
+        assert not by["u4"]["nofollow"] and by["u4"]["rel"] is None
+        assert by["u4"]["href"] == "/w"  # uppercase unquoted
+
+    def test_unclosed_and_image_anchor(self, spark):
+        rows = self._anchors(
+            spark,
+            [("u1", '<a href="/open">dangling <a href="/img"><img src="i.png"></a>')],
+        )
+        # the unterminated first anchor truncates at the first </a>:
+        # one element, href=/open (first open tag), text from the span
+        assert len(rows) == 1
+        assert rows[0]["href"] == "/open"
+
+    def test_empty_text_is_null(self, spark):
+        rows = self._anchors(spark, [("u1", '<a href="/i"><img src="x.png"></a>')])
+        assert rows[0]["anchor_text"] is None
+
+    def test_plan_zero_exchange_zero_python(self, spark):
+        from webscraping_spark.operators.harvest import harvest_anchor_texts
+
+        df = spark.createDataFrame([("u", "<a href='/a'>t</a>")], "url string, html string")
+        plan = harvest_anchor_texts(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan

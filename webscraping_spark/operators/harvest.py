@@ -140,6 +140,69 @@ def image_pairs_col(html: Column) -> Column:
     )
 
 
+# whole <a>...</a> ELEMENT (open tag through first close): anchor-text
+# extraction needs the inner text, unlike directives._A_TAG (attrs only)
+# and udfs.find_links_col (hrefs only). An unterminated <a> never matches
+# (no close tag) and a nested <a> truncates at the first </a> — the same
+# documented regex-subset semantics as the reference's own extractors.
+ANCHOR_ELEMENT_PATTERN = r"(?is)<a\b[^>]*>.*?</a>"
+# spec token match within a rel value: comma/space separated, any case
+_REL_NOFOLLOW_TOKEN = r"(?i)(^|[ \t,])nofollow([ \t,]|$)"
+
+
+def anchor_texts_col(html: Column) -> Column:
+    """``array<struct<href,rel,text>>`` — one element per closed ``<a>``
+    element, page order: href/rel via the shared three-quote-form
+    attribute extractor, inner text tag-stripped + entity-decoded +
+    whitespace-collapsed (blank -> NULL, e.g. an image-only anchor)."""
+
+    def per(a: Column) -> Column:
+        tag = F.regexp_extract(a, r"(?is)^(<a\b[^>]*>)", 1)
+        inner = F.regexp_extract(a, r"(?is)^<a\b[^>]*>(.*)</a>$", 1)
+        return F.struct(
+            _attr_col(tag, "href").alias("href"),
+            _attr_col(tag, "rel").alias("rel"),
+            clean_text_col(inner).alias("text"),
+        )
+
+    return F.transform(
+        F.regexp_extract_all(html, F.lit(ANCHOR_ELEMENT_PATTERN), F.lit(0)), per
+    )
+
+
+def harvest_anchor_texts(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Fetched pages -> the anchor-text table: ``(page_url, pos, href,
+    anchor_text, rel, nofollow)``, one row per closed anchor element in
+    page order. The signal every production ranker builds from the link
+    graph (anchor text describes the TARGET page better than the target
+    itself — the classic search-engine observation) and the companion
+    the engine's PageRank (operators/graph.py) and BM25
+    (operators/search.py) consume: canonicalize ``href`` against
+    ``page_url`` with the same ``canonicalize_split`` tier as any link
+    batch, group by target, and the collected texts are the target's
+    anchor field. ``nofollow`` applies the robots-meta token grammar to
+    the rel value (directives.py semantics) so graph builds can drop
+    non-endorsement edges. One projection + posexplode: zero shuffle,
+    zero Python."""
+    out = df.select(
+        F.col(url_col).alias("page_url"),
+        F.posexplode(anchor_texts_col(F.col(html_col))).alias("pos", "a"),
+    )
+    a = F.col("a")
+    return out.select(
+        "page_url",
+        "pos",
+        a["href"].alias("href"),
+        a["text"].alias("anchor_text"),
+        a["rel"].alias("rel"),
+        F.coalesce(a["rel"].rlike(_REL_NOFOLLOW_TOKEN), F.lit(False)).alias(
+            "nofollow"
+        ),
+    )
+
+
 def harvest_image_pairs(
     df: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:
