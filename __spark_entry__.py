@@ -2012,6 +2012,50 @@ def q_anchor_texts(spark, sf_dir):
     return harvest_anchor_texts(pages)
 
 
+def q_wet_wat(spark, sf_dir):
+    """WET/WAT derivation (sources/warc.py wet_records + wat_records —
+    Common Crawl's conversion/metadata companion formats): three page
+    shapes per doc_id exercise title entities, inline markup, &nbsp;,
+    script/style/comment stripping with tag-bearing script JUNK that a
+    naive tag-stripper would leak, both link quote forms, and the
+    absent-title NULL. Both derivations are zero-shuffle codegen; the
+    correctness join on url merely zips them for one compare. The
+    oracle re-plants the HTML and re-runs the WET strip chain, the
+    title clean and the href findall in DuckDB."""
+    from webscraping_spark.sources.warc import wat_records, wet_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = (
+        F.when(d % 3 == 0, F.concat(
+            F.lit("<html><head><title> Doc &amp; "), ds,
+            F.lit(" </title><style>p{}</style></head><body><p>Body <b>bold</b>&nbsp;"),
+            ds, F.lit('</p><a href="/x'), ds,
+            F.lit('">x</a><a href=\'http://b.com/y'), ds,
+            F.lit("'>y</a><script>var a=\"<p>junk</p>\";</script></body></html>")))
+        .when(d % 3 == 1, F.concat(
+            F.lit("<html><body><p>plain text "), ds,
+            F.lit("</p><a href='/only"), ds, F.lit("'>z</a></body></html>")))
+        .otherwise(F.concat(
+            F.lit("<html><head><title>T"), ds,
+            F.lit("</title></head><body><!-- c --><p>solo&nbsp;"), ds,
+            F.lit("</p></body></html>")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://ww"), ds, F.lit(".com/p")).alias("url"),
+        html.alias("html"),
+    )
+    wet = wet_records(pages)
+    wat = wat_records(pages).select(
+        "url",
+        "title",
+        F.array_join("links", "|").alias("links_joined"),
+        "n_links",
+    )
+    return wet.join(wat, "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2094,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "webdataset_shards": q_webdataset_shards,
         "anchor_texts": q_anchor_texts,
+        "wet_wat_derive": q_wet_wat,
     }
 
 
@@ -4008,5 +4053,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(regexp_matches(rel,
                        '(?i)(^|[ \t,])nofollow([ \t,]|$)'), false) AS nofollow
             FROM attrs
+        """,
+        "wet_wat_derive": r"""
+            -- re-plant the three page shapes and re-run the WET strip
+            -- chain, title clean and href findall
+            WITH pages AS (
+                SELECT 'http://ww' || doc_id || '.com/p' AS url,
+                    CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN '<html><head><title> Doc &amp; ' || doc_id
+                        || ' </title><style>p{}</style></head><body><p>Body <b>bold</b>&nbsp;'
+                        || doc_id || '</p><a href="/x' || doc_id
+                        || '">x</a><a href=''http://b.com/y' || doc_id
+                        || '''>y</a><script>var a="<p>junk</p>";</script></body></html>'
+                      WHEN 1 THEN '<html><body><p>plain text ' || doc_id
+                        || '</p><a href=''/only' || doc_id || '''>z</a></body></html>'
+                      ELSE '<html><head><title>T' || doc_id
+                        || '</title></head><body><!-- c --><p>solo&nbsp;' || doc_id
+                        || '</p></body></html>'
+                    END AS html
+                FROM documents
+            ), stripped AS (
+                SELECT url, html,
+                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                        html,
+                        '(?is)<script\b.*?</script>', ' ', 'g'),
+                        '(?is)<style\b.*?</style>', ' ', 'g'),
+                        '(?is)<noscript\b.*?</noscript>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g') AS s
+                FROM pages
+            ), wet AS (
+                SELECT url, html,
+                    trim(regexp_replace(
+                        replace(replace(replace(replace(replace(replace(
+                            regexp_replace(s, '(?s)<[^>]*>', ' ', 'g'),
+                            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                            '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                        '\s+', ' ', 'g')) AS text
+                FROM stripped
+            )
+            SELECT url, text, CAST(len(text) AS INT) AS n_chars,
+                nullif(trim(regexp_replace(
+                    replace(replace(replace(replace(replace(replace(
+                        regexp_replace(
+                            regexp_extract(html,
+                                '(?is)<title\b[^>]*>(.*?)</title>', 1),
+                            '(?s)<[^>]*>', ' ', 'g'),
+                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+                    '\s+', ' ', 'g')), '') AS title,
+                coalesce(array_to_string(regexp_extract_all(html,
+                    '(?i)<a[^>]+href=["''](.*?)["'']', 1), '|'), '')
+                    AS links_joined,
+                CAST(len(regexp_extract_all(html,
+                    '(?i)<a[^>]+href=["''](.*?)["'']', 1)) AS INT) AS n_links
+            FROM wet
         """,
     }

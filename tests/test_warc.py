@@ -102,3 +102,88 @@ class TestRoundTrip:
         back = warc.read_warc(spark, out).collect()
         assert bytes(back[0]["payload"]) == bytes(payload)
         assert np.array_equal(images.decode_image(bytes(back[0]["payload"]), "png"), px)
+
+
+class TestWetWat:
+    PAGES = [
+        ("http://a.com/1",
+         "<html><head><title> Page &amp; One </title><style>x{}</style></head>"
+         "<body><p>Hello <b>world</b>&nbsp;text</p>"
+         "<a href='/x'>x</a><a href=\"http://b.com/y\">y</a>"
+         "<script>var a='<p>junk</p>';</script></body></html>"),
+        ("http://a.com/2", "<html><body><p>plain</p></body></html>"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.PAGES, "url string, html string")
+
+    def test_wet_records(self, spark):
+        from webscraping_spark.sources.warc import wet_records
+
+        rows = {r["url"]: r for r in wet_records(self._df(spark)).collect()}
+        assert rows["http://a.com/1"]["text"] == "Page & One Hello world text x y"
+        assert rows["http://a.com/2"]["text"] == "plain"
+        assert rows["http://a.com/2"]["n_chars"] == 5
+
+    def test_wat_records(self, spark):
+        from webscraping_spark.sources.warc import wat_records
+
+        rows = {r["url"]: r for r in wat_records(self._df(spark)).collect()}
+        r1 = rows["http://a.com/1"]
+        assert r1["title"] == "Page & One"
+        assert r1["links"] == ["/x", "http://b.com/y"] and r1["n_links"] == 2
+        r2 = rows["http://a.com/2"]
+        assert r2["title"] is None and r2["n_links"] == 0
+
+    def test_wet_wat_plan_zero_exchange_zero_python(self, spark):
+        from webscraping_spark.sources.warc import wat_records, wet_records
+
+        for out in (wet_records(self._df(spark)), wat_records(self._df(spark))):
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan and "Python" not in plan
+
+    def test_wet_roundtrip(self, spark, tmp_path):
+        from webscraping_spark.sources.warc import read_wet, write_wet
+
+        out = str(tmp_path / "wet")
+        man = write_wet(self._df(spark).repartition(2), out).collect()
+        assert sum(r["n_records"] for r in man) == 2
+        back = {r["url"]: r for r in read_wet(spark, out + "/*.gz").collect()}
+        assert back["http://a.com/1"]["text"] == "Page & One Hello world text x y"
+        assert back["http://a.com/2"]["text"] == "plain"
+        assert back["http://a.com/1"]["warc_date"] == "2024-01-01T00:00:00Z"
+
+    def test_wat_file_valid_json(self, spark, tmp_path):
+        import gzip as _gz
+        import glob
+        import json
+
+        from webscraping_spark.sources.warc import write_wat
+
+        out = str(tmp_path / "wat")
+        man = write_wat(self._df(spark), out).collect()
+        assert sum(r["n_records"] for r in man) == 2
+        metas = {}
+        for p in glob.glob(out + "/*.gz"):
+            data = _gz.decompress(open(p, "rb").read())
+            for chunk in data.split(b"\r\n\r\n"):
+                if chunk.strip().startswith(b"{"):
+                    m = json.loads(chunk.strip())
+                    metas[m["url"]] = m
+        assert metas["http://a.com/1"]["title"] == "Page & One"
+        assert metas["http://a.com/1"]["links"] == ["/x", "http://b.com/y"]
+        # absent title is omitted by to_json (NULL field), links empty
+        assert metas["http://a.com/2"]["n_links"] == 0
+
+    def test_write_determinism(self, spark, tmp_path):
+        from webscraping_spark.sources.warc import write_wet
+
+        outs = []
+        for sub in ("w1", "w2"):
+            out = str(tmp_path / sub)
+            write_wet(self._df(spark).coalesce(1), out, compress=False).collect()
+            import glob
+
+            (p,) = glob.glob(out + "/*.warc.wet")
+            outs.append(open(p, "rb").read())
+        assert outs[0] == outs[1] and len(outs[0]) > 0

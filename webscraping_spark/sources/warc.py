@@ -229,3 +229,233 @@ def read_warc(spark, path: str) -> DataFrame:
             )
 
     return files.select("content").mapInPandas(parse, RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET / WAT derivation (Common Crawl's companion formats: a WET file holds
+# one "conversion" record of extracted plain text per capture; a WAT file
+# holds one "metadata" record of JSON page metadata). The derivations are
+# pure codegen projections over the fetched-pages table; only the file
+# sinks touch Python (the same mapInPandas streaming-writer shape as
+# write_warc). Text extraction follows the WET convention — WHOLE-page
+# text with scripts/styles dropped — not boilerplate removal; the
+# jusText-style main-content stage is operators/content.py and feeds
+# curation, while WET feeds interchange.
+# ---------------------------------------------------------------------------
+
+_WET_STRIP = (
+    r"(?is)<script\b.*?</script>",
+    r"(?is)<style\b.*?</style>",
+    r"(?is)<noscript\b.*?</noscript>",
+    r"(?s)<!--.*?-->",
+)
+_TITLE_PATTERN = r"(?is)<title\b[^>]*>(.*?)</title>"
+
+
+def wet_text_col(html):
+    """Whole-page visible text (the WET conversion payload): scripts/
+    styles/comments dropped, tags stripped, the five XML entities +
+    &nbsp; decoded (amp last), whitespace collapsed. '' for an
+    empty/markup-only page."""
+    from webscraping_spark.operators.sitemap import xml_unescape_col
+
+    s = html
+    for pat in _WET_STRIP:
+        s = F.regexp_replace(s, pat, " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    s = xml_unescape_col(F.replace(s, F.lit("&nbsp;"), F.lit(" ")))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def wet_records(
+    fetched: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, text, n_chars) — one WET conversion row per capture. One
+    codegen projection: zero shuffle, zero Python; fuses into the scan
+    that already reads the page."""
+    text = wet_text_col(F.col(html_col))
+    return fetched.select(
+        F.col(url_col).alias("url"),
+        text.alias("text"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def wat_records(
+    fetched: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, title, links, n_links) — one WAT metadata row per capture:
+    cleaned <title> text (NULL when absent/blank) and the raw href list
+    in document order (the same anchor set as the crawl plan's link
+    extractor, udfs.find_links_col). Codegen only; ``write_wat``
+    serializes these to JSON metadata records."""
+    from webscraping_spark.functions.udfs import find_links_col
+    from webscraping_spark.operators.harvest import clean_text_col
+
+    html = F.col(html_col)
+    links = find_links_col(html)
+    return fetched.select(
+        F.col(url_col).alias("url"),
+        clean_text_col(F.regexp_extract(html, _TITLE_PATTERN, 1)).alias("title"),
+        links.alias("links"),
+        F.size(links).alias("n_links"),
+    )
+
+
+def format_conversion_record(url: str, text: bytes, date: str) -> bytes:
+    """One WARC conversion record (the WET payload is bare UTF-8 text,
+    no HTTP block — ISO 28500 §6.8 / the Common Crawl WET layout)."""
+    headers = [
+        WARC_VERSION,
+        b"WARC-Type: conversion",
+        b"WARC-Record-ID: " + _record_id(url, date, len(text)),
+        f"WARC-Date: {date}".encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: text/plain",
+        f"Content-Length: {len(text)}".encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + text + _CRLF + _CRLF
+
+
+def format_metadata_record(url: str, meta_json: bytes, date: str) -> bytes:
+    """One WARC metadata record with a JSON payload (the WAT layout)."""
+    headers = [
+        WARC_VERSION,
+        b"WARC-Type: metadata",
+        b"WARC-Record-ID: " + _record_id(url, date, len(meta_json)),
+        f"WARC-Date: {date}".encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"Content-Type: application/json",
+        f"Content-Length: {len(meta_json)}".encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + meta_json + _CRLF + _CRLF
+
+
+def _stream_records(src, out_dir, ext, fmt_one, compress, prefix):
+    os.makedirs(out_dir, exist_ok=True)
+
+    def writer(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
+        n = 0
+        raw = 0
+        f = open(path, "wb")
+        gz = gzip.GzipFile(fileobj=f, mode="wb", mtime=0) if compress else f
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    rec = fmt_one(row)
+                    gz.write(rec)
+                    n += 1
+                    raw += len(rec)
+        finally:
+            if compress:
+                gz.close()
+            f.close()
+        if n == 0:
+            os.remove(path)
+            yield pd.DataFrame(
+                {"path": [], "n_records": [], "n_bytes": []}
+            ).astype({"path": "object", "n_records": "int64", "n_bytes": "int64"})
+            return
+        yield pd.DataFrame({"path": [path], "n_records": [n], "n_bytes": [raw]})
+
+    return src.mapInPandas(writer, MANIFEST_SCHEMA)
+
+
+def write_wet(
+    fetched: DataFrame,
+    out_dir: str,
+    date: str = "2024-01-01T00:00:00Z",
+    html_col: str = "html",
+    url_col: str = "url",
+    compress: bool = True,
+    prefix: str = "wet",
+) -> DataFrame:
+    """Write ``{prefix}-{partition:05d}.warc.wet[.gz]`` conversion files
+    (text extraction runs JVM-side; Python only streams bytes to disk).
+    Returns the manifest DataFrame — collect it to force the write."""
+    src = wet_records(fetched, html_col=html_col, url_col=url_col).select(
+        "url", "text"
+    )
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+    return _stream_records(
+        src, out_dir, ext,
+        lambda r: format_conversion_record(r.url, r.text.encode("utf-8"), date),
+        compress, prefix,
+    )
+
+
+def write_wat(
+    fetched: DataFrame,
+    out_dir: str,
+    date: str = "2024-01-01T00:00:00Z",
+    html_col: str = "html",
+    url_col: str = "url",
+    compress: bool = True,
+    prefix: str = "wat",
+) -> DataFrame:
+    """Write ``{prefix}-{partition:05d}.warc.wat[.gz]`` metadata files;
+    the JSON payload is built JVM-side (to_json over the wat_records
+    struct — deterministic field order)."""
+    recs = wat_records(fetched, html_col=html_col, url_col=url_col)
+    src = recs.select(
+        "url",
+        F.to_json(F.struct("url", "title", "links", "n_links")).alias("meta"),
+    )
+    ext = ".warc.wat.gz" if compress else ".warc.wat"
+    return _stream_records(
+        src, out_dir, ext,
+        lambda r: format_metadata_record(r.url, r.meta.encode("utf-8"), date),
+        compress, prefix,
+    )
+
+
+def read_wet(spark, path: str) -> DataFrame:
+    """WET conversion files -> (url, warc_date, text)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = _iter_decompressed(bytes(content))
+                pos = 0
+                while True:
+                    start = data.find(WARC_VERSION, pos)
+                    if start < 0:
+                        break
+                    hdr_end = data.find(_CRLF + _CRLF, start)
+                    if hdr_end < 0:
+                        break
+                    headers = {}
+                    for line in data[start:hdr_end].split(_CRLF)[1:]:
+                        k, _, v = line.decode("utf-8", "replace").partition(":")
+                        headers[k.strip().lower()] = v.strip()
+                    length = int(headers.get("content-length", "0"))
+                    block = data[hdr_end + 4 : hdr_end + 4 + length]
+                    pos = hdr_end + 4 + length
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            headers.get("warc-target-uri", ""),
+                            headers.get("warc-date", ""),
+                            block.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_date", "text"]
+            ) if rows else pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype="object"),
+                    "warc_date": pd.Series([], dtype="object"),
+                    "text": pd.Series([], dtype="object"),
+                }
+            )
+
+    return files.select("content").mapInPandas(
+        parse, "url string, warc_date string, text string"
+    )
