@@ -2056,6 +2056,34 @@ def q_wet_wat(spark, sf_dir):
     return wet.join(wat, "url")
 
 
+def q_trap_signals(spark, sf_dir):
+    """Crawl-trap detection (operators/urlfilter.py trap_signals — the
+    Heritrix/IRLbot infinite-URL-space defense the per-URL gate cannot
+    see): planted frontier URLs put half the rows on a calendar-path
+    trap domain (digit collapse folds them to ONE template), a quarter
+    on a session-id trap (query-value collapse folds them), and a
+    quarter on a healthy wiki whose md5-derived paths stay distinct
+    under both collapses. One map-side-combinable (domain, template)
+    groupBy + a window over the tiny template table. The oracle
+    re-derives templates (\\1 vs $1 replacement syntax, same semantics),
+    counts, the deterministic winner and the integer majority rule."""
+    from webscraping_spark.operators.urlfilter import trap_signals
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 4 <= 1, F.concat(
+            F.lit("http://trapcal.com/cal/2024/"), (d % 12).cast("string"),
+            F.lit("/"), ds))
+        .when(d % 4 == 2, F.concat(
+            F.lit("http://sessions.com/item?sid="), F.md5(ds), F.lit("&p=1")))
+        .otherwise(F.concat(
+            F.lit("http://wikiw.com/t/"), F.substring(F.md5(ds), 1, 8)))
+    )
+    return trap_signals(docs.select(url.alias("url")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2139,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_shards": q_webdataset_shards,
         "anchor_texts": q_anchor_texts,
         "wet_wat_derive": q_wet_wat,
+        "trap_signals": q_trap_signals,
     }
 
 
@@ -4107,5 +4136,46 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(html,
                     '(?i)<a[^>]+href=["''](.*?)["'']', 1)) AS INT) AS n_links
             FROM wet
+        """,
+        "trap_signals": r"""
+            -- re-plant the frontier, re-derive templates (query values
+            -- then digit runs), counts, deterministic winner, majority
+            WITH urls AS (
+                SELECT CASE
+                    WHEN doc_id % 4 <= 1 THEN
+                        'http://trapcal.com/cal/2024/' || (doc_id % 12)
+                        || '/' || doc_id
+                    WHEN doc_id % 4 = 2 THEN
+                        'http://sessions.com/item?sid='
+                        || md5(CAST(doc_id AS VARCHAR)) || '&p=1'
+                    ELSE 'http://wikiw.com/t/'
+                        || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    END AS url
+                FROM documents
+            ), keyed AS (
+                SELECT regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS domain,
+                       regexp_replace(regexp_replace(url,
+                           '([?&][^=&#]*=)[^&#]*', '\1', 'g'),
+                           '\d+', 'N', 'g') AS template
+                FROM urls
+            ), per AS (
+                SELECT domain, template, count(*) AS n
+                FROM keyed GROUP BY domain, template
+            ), ranked AS (
+                SELECT domain, template, n,
+                       sum(n) OVER (PARTITION BY domain) AS n_urls,
+                       count(*) OVER (PARTITION BY domain) AS n_templates,
+                       row_number() OVER (PARTITION BY domain
+                           ORDER BY n DESC, template ASC) AS rn
+                FROM per
+            )
+            SELECT domain,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(n_templates AS INT) AS n_templates,
+                   template AS top_template,
+                   CAST(n AS BIGINT) AS top_n,
+                   (n_urls >= 20 AND n * 100 >= n_urls * 50) AS is_trap
+            FROM ranked WHERE rn = 1
         """,
     }

@@ -98,3 +98,60 @@ class TestPlanShape:
         )
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestTrapDetection:
+    def _urls(self, spark):
+        rows = []
+        # calendar trap: 60 urls, one digit-collapsed template
+        rows += [(f"http://trap.com/cal/2024/{m:02d}/{d:02d}",) for m in range(1, 7) for d in range(1, 11)]
+        # session-id trap: 30 urls, one query-value-collapsed template
+        rows += [(f"http://shop.com/item?sid=s{i}x{i}&page=1",) for i in range(30)]
+        # healthy: 25 urls, distinct word paths (no digits)
+        rows += [(f"http://wiki.com/topic/{'abcdefghij'[i % 10]}{'klmnopqrst'[i // 10]}",) for i in range(25)]
+        # small: 5 urls, same template but under min_urls
+        rows += [(f"http://tiny.com/p/{i}",) for i in range(5)]
+        return spark.createDataFrame(rows, "url string")
+
+    def test_template_collapse(self, spark):
+        from pyspark.sql import functions as F
+
+        from webscraping_spark.operators.urlfilter import url_template_col
+
+        df = spark.createDataFrame(
+            [("http://a.com/cal/2024/05/03?sid=ab12&x=9&flag",)], "url string"
+        )
+        (r,) = df.select(url_template_col(F.col("url")).alias("t")).collect()
+        assert r["t"] == "http://a.com/cal/N/N/N?sid=&x=&flag"
+
+    def test_verdicts(self, spark):
+        from webscraping_spark.operators.urlfilter import trap_signals
+
+        v = {r["domain"]: r for r in trap_signals(self._urls(spark)).collect()}
+        assert v["trap.com"]["is_trap"] and v["trap.com"]["n_templates"] == 1
+        assert v["trap.com"]["n_urls"] == 60 and v["trap.com"]["top_n"] == 60
+        assert v["shop.com"]["is_trap"]
+        assert v["shop.com"]["top_template"] == "http://shop.com/item?sid=&page="
+        assert not v["wiki.com"]["is_trap"]  # 25 distinct templates
+        assert v["wiki.com"]["n_templates"] == 25 and v["wiki.com"]["top_n"] == 1
+        assert not v["tiny.com"]["is_trap"]  # majority but under min_urls
+
+    def test_gate_marks_only_trap_template_urls(self, spark):
+        from webscraping_spark.operators.urlfilter import gate_trap_urls
+
+        df = self._urls(spark)
+        got = {r["url"]: r["trapped"] for r in gate_trap_urls(df).collect()}
+        assert got["http://trap.com/cal/2024/01/01"] is True
+        assert got["http://shop.com/item?sid=s0x0&page=1"] is True
+        assert got["http://wiki.com/topic/ak"] is False
+        assert got["http://tiny.com/p/0"] is False
+        assert sum(got.values()) == 90  # exactly the two trap groups
+
+    def test_single_shuffle_on_url_table(self, spark):
+        # the URL table is exchanged once (domain,template groupBy); the
+        # window runs over the already-aggregated template table
+        from webscraping_spark.operators.urlfilter import trap_signals
+
+        plan = trap_signals(self._urls(spark))._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 3  # agg + window re-key + AQE reads
+        assert "Python" not in plan

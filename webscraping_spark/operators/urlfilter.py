@@ -147,3 +147,118 @@ def url_quality_gate(
     return sig.select(
         "*", F.when(keep, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection: infinite URL spaces (calendars, session ids,
+# faceted navigation) that explode a frontier without adding content.
+# The per-URL quality gate above cannot see them — a single calendar URL
+# looks fine; the TRAP is the population. Detection is per-domain
+# template collapse (the Heritrix "path-ish" / IRLbot device): collapse
+# digit runs and query-parameter VALUES out of the URL, then measure how
+# much of the domain's frontier share one template holds.
+# ---------------------------------------------------------------------------
+
+# query values drop first (key survives: '?id=123&x=a' -> '?id=&x='),
+# then digit runs collapse to N. Spark replacement syntax is $1, DuckDB's
+# is \1 — same semantics, documented pair.
+_QVAL_PATTERN = r"([?&][^=&#]*=)[^&#]*"
+_DIGITS_PATTERN = r"\d+"
+
+
+def url_template_col(url: Column) -> Column:
+    """Trap template of a URL: query values stripped, digit runs -> 'N'.
+
+    DuckDB twin: ``regexp_replace(regexp_replace(url, qval, '\\1', 'g'),
+    '\\d+', 'N', 'g')``."""
+    return F.regexp_replace(
+        F.regexp_replace(url, _QVAL_PATTERN, r"$1"), _DIGITS_PATTERN, "N"
+    )
+
+
+def trap_signals(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 20,
+    majority_pct: int = 50,
+) -> DataFrame:
+    """Per-domain trap verdicts: ``(domain, n_urls, n_templates,
+    top_template, top_n, is_trap)`` — a domain is a trap candidate when
+    it holds >= ``min_urls`` frontier URLs and one template owns >=
+    ``majority_pct``% of them (integer arithmetic, oracle-stable).
+
+    Shuffle shape at 10^10 URLs: one map-side-combinable groupBy on
+    (domain, template) — boilerplate-hot templates combine before the
+    exchange — then a domain-keyed window over the (small) template
+    table to pick the deterministic winner (count desc, template asc).
+    The URL table itself is never re-shuffled."""
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    u = F.col(url_col)
+    t = df.select(
+        get_domain_col(u).alias("domain"),
+        url_template_col(u).alias("template"),
+    )
+    per_tpl = t.groupBy("domain", "template").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain")
+    wo = Window.partitionBy("domain").orderBy(
+        F.col("n").desc(), F.col("template").asc()
+    )
+    ranked = per_tpl.select(
+        "domain",
+        "template",
+        "n",
+        F.sum("n").over(w).alias("n_urls"),
+        F.count("*").over(w).alias("n_templates"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    top = ranked.filter(F.col("rn") == 1)
+    return top.select(
+        "domain",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_templates").cast("int").alias("n_templates"),
+        F.col("template").alias("top_template"),
+        F.col("n").cast("long").alias("top_n"),
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("n") * 100 >= F.col("n_urls") * F.lit(majority_pct))
+        ).alias("is_trap"),
+    )
+
+
+def gate_trap_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 20,
+    majority_pct: int = 50,
+) -> DataFrame:
+    """Input plus ``trapped`` — True for URLs whose (domain, template)
+    is the winning template of a trap domain (the rows a frontier push
+    should hold back or depth-penalize; non-top templates of the same
+    domain survive, so the real site underneath stays crawlable). One
+    broadcast-able join against the tiny verdict table."""
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    verdicts = trap_signals(
+        df, url_col=url_col, min_urls=min_urls, majority_pct=majority_pct
+    ).filter(F.col("is_trap"))
+    u = F.col(url_col)
+    keyed = df.withColumn("_domain", get_domain_col(u)).withColumn(
+        "_template", url_template_col(u)
+    )
+    joined = keyed.join(
+        F.broadcast(
+            verdicts.select(
+                F.col("domain").alias("_domain"),
+                F.col("top_template").alias("_template"),
+                F.lit(True).alias("_hit"),
+            )
+        ),
+        ["_domain", "_template"],
+        "left",
+    )
+    return joined.select(
+        *df.columns, F.coalesce(F.col("_hit"), F.lit(False)).alias("trapped")
+    )
