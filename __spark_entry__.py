@@ -2084,6 +2084,52 @@ def q_trap_signals(spark, sf_dir):
     return trap_signals(docs.select(url.alias("url")))
 
 
+def q_exif_strip(spark, sf_dir):
+    """Metadata redaction (multimodal.strip_image_metadata — the PII
+    pass over harvested JPEGs): the same 48 planted JPEGs as
+    jpeg_exif_extract (EXIF on all but every 7th, both TIFF byte
+    orders) run through the lossless segment strip, then back through
+    the EXIF extractor. The query returns per-image (had_exif,
+    has_exif_after, shrunk); the oracle re-derives all three from
+    doc_id arithmetic — a strip that leaks a segment, drops a byte from
+    an EXIF-less stream, or breaks the stream so extract_exif errors,
+    mismatches."""
+    import hashlib
+
+    from webscraping_spark.operators.multimodal import (
+        extract_exif,
+        strip_image_metadata,
+    )
+    from webscraping_spark.sources import images, jpeg
+
+    docs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select("doc_id").collect()
+    )
+    rows = []
+    for r in docs:
+        d = int(r["doc_id"])
+        image_id = hashlib.md5(str(d).encode()).hexdigest()
+        px = images.synth_pixels(image_id, 16 + (d * 7) % 48, 16 + (d * 13) % 48)
+        exif = None
+        if d % 7 != 0:
+            exif = {"make": "Maker%d" % (d % 5), "orientation": 1 + d % 8}
+        rows.append(
+            (image_id, bytearray(jpeg.encode_jpeg(px, exif=exif, exif_little_endian=bool(d % 2))))
+        )
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary")
+    before = extract_exif(pages).select(
+        "image_id", F.col("has_exif").alias("had_exif")
+    )
+    stripped = strip_image_metadata(pages)
+    after = extract_exif(stripped.select("image_id", "bytes")).select(
+        "image_id", F.col("has_exif").alias("has_exif_after")
+    )
+    return (
+        before.join(after, "image_id")
+        .join(stripped.select("image_id", (F.col("bytes_removed") > 0).alias("shrunk")), "image_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2168,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "wet_wat_derive": q_wet_wat,
         "trap_signals": q_trap_signals,
+        "exif_strip": q_exif_strip,
     }
 
 
@@ -4177,5 +4224,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS top_n,
                    (n_urls >= 20 AND n * 100 >= n_urls * 50) AS is_trap
             FROM ranked WHERE rn = 1
+        """,
+        "exif_strip": r"""
+            -- the strip contract re-derived from doc_id arithmetic:
+            -- EXIF present before on all but every 7th doc, never after,
+            -- and exactly the EXIF-bearing streams shrink
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                   (doc_id % 7 <> 0) AS had_exif,
+                   false AS has_exif_after,
+                   (doc_id % 7 <> 0) AS shrunk
+            FROM documents WHERE doc_id < 48
         """,
     }

@@ -132,3 +132,32 @@ def test_thumbnail_downscale_fidelity(spark):
             255,
         )
     assert images.psnr(ref, images.decode_auto(bytes(out["bytes"]))) >= 40.0
+
+
+class TestStripImageMetadata:
+    def test_operator(self, spark):
+        from webscraping_spark.operators.multimodal import (
+            extract_exif,
+            strip_image_metadata,
+        )
+        from webscraping_spark.sources import images, jpeg
+
+        px = images.synth_pixels("s1", 24, 16)
+        with_exif = jpeg.encode_jpeg(px, exif={"make": "M", "orientation": 3})
+        without = jpeg.encode_jpeg(px)
+        png = images.encode_image(px, "png")
+        df = spark.createDataFrame(
+            [("a", bytearray(with_exif)), ("b", bytearray(without)), ("c", bytearray(png))],
+            "image_id string, bytes binary",
+        )
+        out = {r["image_id"]: r for r in strip_image_metadata(df).collect()}
+        assert out["a"]["was_jpeg"] and out["a"]["bytes_removed"] > 0
+        assert out["b"]["was_jpeg"] and out["b"]["bytes_removed"] == 0
+        assert not out["c"]["was_jpeg"] and bytes(out["c"]["bytes"]) == png
+        # re-extract: EXIF gone, row set stable
+        stripped = spark.createDataFrame(
+            [(k, bytearray(v["bytes"])) for k, v in out.items()],
+            "image_id string, bytes binary",
+        )
+        ex = {r["image_id"]: r for r in extract_exif(stripped).collect()}
+        assert not any(r["has_exif"] for r in ex.values()) and len(ex) == 3

@@ -223,3 +223,56 @@ def test_extract_exif_operator(spark):
     for k in ("without", "notjpeg"):
         assert not out[k]["has_exif"]
         assert out[k]["make"] is None and out[k]["orientation"] is None
+
+
+class TestStripMetadata:
+    EXIF = {
+        "make": "Maker", "model": "M-1", "software": "eng 4.1",
+        "description": "pii desc", "datetime": "2024:01:02 03:04:05",
+        "orientation": 6, "exif_w": 20, "exif_h": 12,
+    }
+
+    def _jpg(self, with_exif=True, **kw):
+        from webscraping_spark.sources import images, jpeg
+
+        px = images.synth_pixels("strip", 20, 12)
+        return px, jpeg.encode_jpeg(px, exif=self.EXIF if with_exif else None, **kw)
+
+    def test_exif_removed_pixels_identical(self):
+        from webscraping_spark.sources import jpeg
+
+        px, data = self._jpg()
+        clean = jpeg.strip_metadata(data)
+        assert jpeg.parse_exif(clean) == {}
+        assert jpeg.parse_exif(data) != {}
+        assert len(clean) < len(data)
+        import numpy as np
+
+        assert np.array_equal(jpeg.decode_jpeg(clean), jpeg.decode_jpeg(data))
+
+    def test_idempotent_and_noop_without_exif(self):
+        from webscraping_spark.sources import jpeg
+
+        _, data = self._jpg(with_exif=False)
+        assert jpeg.strip_metadata(data) == data  # only JFIF APP0 present
+        _, data2 = self._jpg()
+        once = jpeg.strip_metadata(data2)
+        assert jpeg.strip_metadata(once) == once
+
+    def test_app0_policy_and_restart_stream(self):
+        from webscraping_spark.sources import jpeg
+
+        _, data = self._jpg(restart_interval=2)
+        clean = jpeg.strip_metadata(data, keep_app0=False)
+        assert b"JFIF" not in clean[:40]
+        import numpy as np
+
+        assert np.array_equal(jpeg.decode_jpeg(clean), jpeg.decode_jpeg(data))
+
+    def test_non_jpeg_raises(self):
+        import pytest as _pt
+
+        from webscraping_spark.sources import jpeg
+
+        with _pt.raises(ValueError):
+            jpeg.strip_metadata(b"GIF89a123")

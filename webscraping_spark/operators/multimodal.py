@@ -397,6 +397,49 @@ def extract_exif(pages: DataFrame) -> DataFrame:
     return pages.select("image_id", "bytes").mapInPandas(extract, out_schema)
 
 
+def strip_image_metadata(pages: DataFrame, keep_app0: bool = True) -> DataFrame:
+    """Privacy pass for harvested JPEGs: drop APP1-APP15 + COM segments
+    (EXIF GPS/author PII, XMP, vendor notes) WITHOUT re-encoding —
+    entropy data passes through byte-for-byte, so pixels are untouched
+    (the lossless counterpart of thumbnail-and-reencode redaction).
+    Output: (image_id, bytes, was_jpeg, bytes_removed); non-JPEG
+    payloads pass through unchanged with was_jpeg=false. mapInPandas
+    byte surgery (a per-row segment walk — I/O-shaped like the codec
+    layer, bounded by payload size); idempotent."""
+
+    out_schema = "image_id string, bytes binary, was_jpeg boolean, bytes_removed int"
+
+    def strip(batches):
+        from webscraping_spark.sources.jpeg import strip_metadata
+
+        for pdf in batches:
+            n = len(pdf)
+            ids = pdf["image_id"].to_numpy()
+            outs = np.empty(n, dtype=object)
+            was = np.zeros(n, dtype=bool)
+            removed = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                raw = bytes(pdf["bytes"].iloc[i])
+                try:
+                    clean = strip_metadata(raw, keep_app0=keep_app0)
+                except Exception:  # non-JPEG / truncated: passthrough
+                    outs[i] = raw
+                    continue
+                outs[i] = clean
+                was[i] = True
+                removed[i] = len(raw) - len(clean)
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "bytes": outs,
+                    "was_jpeg": was,
+                    "bytes_removed": removed,
+                }
+            )
+
+    return pages.select("image_id", "bytes").mapInPandas(strip, out_schema)
+
+
 # --- audio / video (real for uncompressed containers, stub for codecs) ------
 
 

@@ -455,6 +455,40 @@ def parse_exif(data: bytes) -> dict:
     return {}
 
 
+def strip_metadata(data: bytes, keep_app0: bool = True) -> bytes:
+    """Remove metadata segments from a JPEG without re-encoding: APP1-
+    APP15 (EXIF/XMP/ICC/vendor blocks — where GPS and author PII live)
+    and COM comments are dropped; the entropy-coded image data, tables
+    and structure pass through byte-for-byte, so decoded pixels are
+    identical. ``keep_app0`` preserves the plain JFIF APP0 (density
+    info, no PII). Everything from SOS onward copies verbatim (metadata
+    must precede the scan). Raises ValueError on a non-JPEG."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker in (0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xDA:  # SOS: scan + EOI verbatim
+            out += data[pos:]
+            return bytes(out)
+        drop = (0xE1 <= marker <= 0xEF) or marker == 0xFE
+        if marker == 0xE0 and not keep_app0:
+            drop = True
+        if not drop:
+            out += data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- encoder
 
 
