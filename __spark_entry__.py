@@ -2130,6 +2130,72 @@ def q_exif_strip(spark, sf_dir):
     )
 
 
+def q_sitemap_entries(spark, sf_dir):
+    """Full sitemap urlset entries (operators/sitemap.py sitemap_entries
+    — the lastmod/changefreq/priority metadata the recrawl scheduler
+    consumes, which expand_sitemaps discards): planted XML per doc_id
+    carries a fully-annotated entry, an entity-escaped bare entry, a
+    loc-less entry (dropped, position consumed) and — on even docs — a
+    lastmod-only entry. Zero shuffle, zero Python. The oracle re-runs
+    the block split, element extracts, entity chain and the loc gate."""
+    from webscraping_spark.operators.sitemap import sitemap_entries
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> http://sm'), ds,
+        F.lit(".com/a </loc><lastmod>2024-01-"),
+        F.lpad((1 + d % 28).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (d % 10).cast("string"),
+        F.lit("</priority></url><url><loc>http://sm"), ds,
+        F.lit(".com/b?x=1&amp;y="), ds,
+        F.lit("</loc></url><url><priority>0.1</priority></url>"),
+        F.when(d % 2 == 0, F.concat(
+            F.lit("<url><loc>http://sm"), ds,
+            F.lit(".com/c</loc><lastmod>2024-02-02T03:04:05Z</lastmod></url>"),
+        )).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://sm"), ds, F.lit(".com/sitemap.xml")).alias("url"),
+        xml.alias("html"),
+    )
+    return sitemap_entries(pages)
+
+
+def q_tracking_strip(spark, sf_dir):
+    """Tracking-parameter removal (urlfilter.strip_tracking_params_col —
+    frontier hygiene against utm_*/click-id URL minting): planted URLs
+    cycle five shapes per doc_id — trackers sandwiching a real param, a
+    lone click id, a bare flag tracker plus fragment, a lookalike key
+    that must survive ('gclid2', 'x=utm_source'), and a tracker-free
+    URL. Zero shuffle, zero Python. The oracle re-runs the split /
+    whole-key filter / rejoin with the identical pattern."""
+    from webscraping_spark.operators.urlfilter import strip_tracking_params_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("http://ts"), ds, F.lit(".com/p?utm_source=s"), ds,
+            F.lit("&id="), ds, F.lit("&utm_medium=m")))
+        .when(d % 5 == 1, F.concat(
+            F.lit("http://ts"), ds, F.lit(".com/p?gclid=g"), ds))
+        .when(d % 5 == 2, F.concat(
+            F.lit("http://ts"), ds, F.lit(".com/p?fbclid&a="), ds, F.lit("#frag")))
+        .when(d % 5 == 3, F.concat(
+            F.lit("http://ts"), ds, F.lit(".com/p?gclid2=k&x=utm_source&UTM_CAMPAIGN=z")))
+        .otherwise(F.concat(F.lit("http://ts"), ds, F.lit(".com/p?a=1&b=2")))
+    )
+    return docs.select(
+        url.alias("url"),
+        strip_tracking_params_col(url).alias("stripped"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2215,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_wat_derive": q_wet_wat,
         "trap_signals": q_trap_signals,
         "exif_strip": q_exif_strip,
+        "sitemap_entries": q_sitemap_entries,
+        "tracking_strip": q_tracking_strip,
     }
 
 
@@ -4234,5 +4302,91 @@ def oracle_sql() -> dict[str, str]:
                    false AS has_exif_after,
                    (doc_id % 7 <> 0) AS shrunk
             FROM documents WHERE doc_id < 48
+        """,
+        "sitemap_entries": r"""
+            -- re-plant the urlset XML and re-run block split, element
+            -- extracts, entity chain and the loc gate
+            WITH pages AS (
+                SELECT 'http://sm' || doc_id || '.com/sitemap.xml' AS url,
+                    '<?xml version="1.0"?><urlset><url><loc> http://sm'
+                    || doc_id || '.com/a </loc><lastmod>2024-01-'
+                    || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                    || '</lastmod><changefreq>daily</changefreq><priority>0.'
+                    || (doc_id % 10)
+                    || '</priority></url><url><loc>http://sm' || doc_id
+                    || '.com/b?x=1&amp;y=' || doc_id
+                    || '</loc></url><url><priority>0.1</priority></url>'
+                    || CASE WHEN doc_id % 2 = 0
+                         THEN '<url><loc>http://sm' || doc_id
+                              || '.com/c</loc><lastmod>2024-02-02T03:04:05Z</lastmod></url>'
+                         ELSE '' END
+                    || '</urlset>' AS html
+                FROM documents
+            ), blocks AS (
+                SELECT url, unnest(regexp_extract_all(html, '(?is)<url>.*?</url>')) AS b,
+                       CAST(generate_subscripts(
+                           regexp_extract_all(html, '(?is)<url>.*?</url>'), 1) - 1
+                           AS INT) AS pos
+                FROM pages
+            ), fields AS (
+                SELECT url, pos,
+                    nullif(replace(replace(replace(replace(replace(
+                        regexp_extract(b,
+                            '(?is)<loc>\s*([^<\s](?:[^<]*[^<\s])?)\s*</loc>', 1),
+                        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
+                        '&amp;','&'), '') AS loc,
+                    nullif(replace(replace(replace(replace(replace(
+                        regexp_extract(b,
+                            '(?is)<lastmod>\s*([^<\s](?:[^<]*[^<\s])?)\s*</lastmod>', 1),
+                        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
+                        '&amp;','&'), '') AS lastmod,
+                    nullif(replace(replace(replace(replace(replace(
+                        regexp_extract(b,
+                            '(?is)<changefreq>\s*([^<\s](?:[^<]*[^<\s])?)\s*</changefreq>', 1),
+                        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
+                        '&amp;','&'), '') AS changefreq,
+                    nullif(replace(replace(replace(replace(replace(
+                        regexp_extract(b,
+                            '(?is)<priority>\s*([^<\s](?:[^<]*[^<\s])?)\s*</priority>', 1),
+                        '&lt;','<'),'&gt;','>'),'&quot;','"'),'&apos;',''''),
+                        '&amp;','&'), '') AS priority
+                FROM blocks
+            )
+            SELECT url, pos, loc, lastmod, changefreq, priority
+            FROM fields WHERE loc IS NOT NULL
+        """,
+        "tracking_strip": r"""
+            -- the identical split / whole-key filter / rejoin
+            WITH urls AS (
+                SELECT CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN 'http://ts' || doc_id || '.com/p?utm_source=s'
+                        || doc_id || '&id=' || doc_id || '&utm_medium=m'
+                    WHEN 1 THEN 'http://ts' || doc_id || '.com/p?gclid=g' || doc_id
+                    WHEN 2 THEN 'http://ts' || doc_id || '.com/p?fbclid&a='
+                        || doc_id || '#frag'
+                    WHEN 3 THEN 'http://ts' || doc_id
+                        || '.com/p?gclid2=k&x=utm_source&UTM_CAMPAIGN=z'
+                    ELSE 'http://ts' || doc_id || '.com/p?a=1&b=2'
+                    END AS url
+                FROM documents
+            ), parts AS (
+                SELECT url,
+                       regexp_extract(url, '^([^?#]*)', 1) AS base,
+                       regexp_extract(url, '\?([^#]*)', 1) AS query,
+                       regexp_extract(url, '(#.*)$', 1) AS frag
+                FROM urls
+            ), kept AS (
+                SELECT url, base, query, frag,
+                    coalesce(array_to_string(list_filter(
+                        string_split(query, '&'),
+                        t -> NOT regexp_matches(t,
+                            '(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid)(=|$)')),
+                        '&'), '') AS q2
+                FROM parts
+            )
+            SELECT url,
+                   base || CASE WHEN query <> '' AND q2 <> ''
+                                THEN '?' || q2 ELSE '' END || frag AS stripped
+            FROM kept
         """,
     }

@@ -172,3 +172,34 @@ class TestSitemapSeededCrawl:
         )
         job.run(seeds)
         assert job.visit_urls() == [b, a]
+
+
+class TestSitemapEntries:
+    XML = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://a.com/p1 </loc><lastmod>2024-01-02</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>http://a.com/p2?x=1&amp;y=2</loc></url>"
+        "<url><priority>0.1</priority></url>"
+        "<url><loc>http://a.com/p3</loc><lastmod>2024-02-03T04:05:06Z</lastmod></url>"
+        "</urlset>"
+    )
+
+    def test_entries(self, spark):
+        from webscraping_spark.operators.sitemap import sitemap_entries
+
+        df = spark.createDataFrame([("http://a.com/s.xml", self.XML)], "url string, html string")
+        rows = sitemap_entries(df).orderBy("pos").collect()
+        assert [(r["pos"], r["loc"], r["lastmod"], r["changefreq"], r["priority"]) for r in rows] == [
+            (0, "http://a.com/p1", "2024-01-02", "daily", "0.8"),
+            (1, "http://a.com/p2?x=1&y=2", None, None, None),
+            # pos 2 (loc-less entry) dropped
+            (3, "http://a.com/p3", "2024-02-03T04:05:06Z", None, None),
+        ]
+
+    def test_plan_zero_exchange(self, spark):
+        from webscraping_spark.operators.sitemap import sitemap_entries
+
+        df = spark.createDataFrame([("u", self.XML)], "url string, html string")
+        plan = sitemap_entries(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan

@@ -155,3 +155,32 @@ class TestTrapDetection:
         plan = trap_signals(self._urls(spark))._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 3  # agg + window re-key + AQE reads
         assert "Python" not in plan
+
+
+class TestTrackingParams:
+    CASES = [
+        ("http://a.com/p?utm_source=x&id=3&utm_medium=y", "http://a.com/p?id=3"),
+        ("http://a.com/p?gclid=abc", "http://a.com/p"),
+        ("http://a.com/p?fbclid", "http://a.com/p"),
+        ("http://a.com/p?gclid2=keep&a=b", "http://a.com/p?gclid2=keep&a=b"),
+        ("http://a.com/p?a=1&UTM_CAMPAIGN=Z&b=2#frag", "http://a.com/p?a=1&b=2#frag"),
+        ("http://a.com/p#only", "http://a.com/p#only"),
+        ("http://a.com/p", "http://a.com/p"),
+        ("http://a.com/p?x=utm_source", "http://a.com/p?x=utm_source"),
+    ]
+
+    def test_strip(self, spark):
+        from pyspark.sql import functions as F
+
+        from webscraping_spark.operators.urlfilter import strip_tracking_params_col
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = [r["out"] for r in df.select(strip_tracking_params_col(F.col("url")).alias("out")).collect()]
+        assert got == [e for _, e in self.CASES]
+
+    def test_plan_zero_exchange(self, spark):
+        from webscraping_spark.operators.urlfilter import strip_tracking_params
+
+        df = spark.createDataFrame([("http://a.com/?utm_x=1",)], "url string")
+        plan = strip_tracking_params(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan

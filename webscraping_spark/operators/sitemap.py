@@ -68,6 +68,50 @@ def is_sitemap_index_col(xml: Column) -> Column:
     return xml.contains("<sitemapindex")
 
 
+# one <url>...</url> entry block (urlset documents); non-greedy so
+# adjacent entries don't merge
+URL_BLOCK_PATTERN = r"(?is)<url>.*?</url>"
+
+
+def _elem_text(block: Column, tag: str) -> Column:
+    """Trimmed, entity-decoded text of a child element; NULL if absent
+    or blank."""
+    raw = F.regexp_extract(
+        block, r"(?is)<" + tag + r">\s*([^<\s](?:[^<]*[^<\s])?)\s*</" + tag + r">", 1
+    )
+    return F.nullif(xml_unescape_col(raw), F.lit(""))
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "html", source_col: str = "url"
+) -> DataFrame:
+    """Full urlset entries: ``(source_col, pos, loc, lastmod, changefreq,
+    priority)`` — the metadata ``expand_sitemaps`` discards but the
+    recrawl scheduler (operators/recrawl.py) wants: ``lastmod`` seeds
+    the change history, ``changefreq``/``priority`` are the publisher's
+    own revisit hints (sitemaps.org/protocol.html; all three optional
+    per the spec -> NULL). ``priority`` stays a STRING — the protocol
+    says 0.0-1.0 but the wild disagrees, and parsing policy belongs to
+    the consumer. Entries without a ``<loc>`` are dropped (not a valid
+    entry). One projection + posexplode: zero shuffle, zero Python."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(URL_BLOCK_PATTERN), F.lit(0)
+    )
+    out = df.select(
+        F.col(source_col),
+        F.posexplode(blocks).alias("pos", "b"),
+    )
+    b = F.col("b")
+    return out.select(
+        source_col,
+        "pos",
+        _elem_text(b, "loc").alias("loc"),
+        _elem_text(b, "lastmod").alias("lastmod"),
+        _elem_text(b, "changefreq").alias("changefreq"),
+        _elem_text(b, "priority").alias("priority"),
+    ).filter(F.col("loc").isNotNull())
+
+
 def expand_sitemaps(
     df: DataFrame,
     xml_col: str = "html",

@@ -262,3 +262,49 @@ def gate_trap_urls(
     return joined.select(
         *df.columns, F.coalesce(F.col("_hit"), F.lit(False)).alias("trapped")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tracking-parameter removal: utm_* & friends make one page infinitely
+# many URLs (every social share mints a new query string), polluting the
+# seen-set and double-fetching content. Production crawlers strip the
+# well-known tracker keys during canonicalization; the engine applies
+# this AFTER the reference-parity canonicalize kernel (which must stay
+# bit-exact to download.py:987-1004) as an opt-in frontier hygiene step.
+# ---------------------------------------------------------------------------
+
+# frozen key set (prefix utm_*, plus the big click-id params); a key
+# matches as a whole name only — 'gclid2' survives. The (=|$) tail
+# covers bare flags ('?fbclid').
+TRACKING_KEY_PATTERN = (
+    r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|igshid)(=|$)"
+)
+
+
+def strip_tracking_params_col(url: Column) -> Column:
+    """URL with tracking query parameters removed: the query splits on
+    '&', tokens whose key matches TRACKING_KEY_PATTERN drop, the rest
+    rejoin in order; an emptied query drops its '?'. Path, fragment and
+    non-tracking parameter order are untouched. Pure codegen (split /
+    filter / array_join) in the shared regex subset."""
+    base = F.regexp_extract(url, r"^([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    frag = F.regexp_extract(url, r"(#.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"), lambda t: ~t.rlike(TRACKING_KEY_PATTERN)
+    )
+    q2 = F.array_join(kept, "&")
+    return F.concat(
+        base,
+        F.when((query != "") & (q2 != ""), F.concat(F.lit("?"), q2)).otherwise(
+            F.lit("")
+        ),
+        frag,
+    )
+
+
+def strip_tracking_params(
+    df: DataFrame, url_col: str = "url", out_col: str | None = None
+) -> DataFrame:
+    """Apply the tracker strip to a URL column (in place by default)."""
+    return df.withColumn(out_col or url_col, strip_tracking_params_col(F.col(url_col)))
