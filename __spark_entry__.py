@@ -2196,6 +2196,36 @@ def q_tracking_strip(spark, sf_dir):
     )
 
 
+def q_anchor_field(spark, sf_dir):
+    """Anchor-field aggregation (harvest.anchor_field — inbound anchor
+    texts per target, the ranking field BM25 indexes): every planted
+    page links to two hubs (doc_id mod arithmetic) plus a nofollow
+    duplicate and an image-only anchor, both gated. Each hub collects
+    ~50 anchors, capped at 10 in deterministic (page_url, pos) order —
+    the cap branch is exercised. One map-side-combinable aggregation
+    after the zero-shuffle harvest; hrefs are clean absolute URLs
+    (canonicalize tier 0 = identity) so the oracle re-derives targets
+    verbatim and re-runs the gate, ordering, cap and join in DuckDB."""
+    from webscraping_spark.operators.harvest import anchor_field
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    hub1 = F.concat(F.lit("http://hub"), (d % 20).cast("string"), F.lit(".com/"))
+    hub2 = F.concat(F.lit("http://hub"), ((d + 7) % 20).cast("string"), F.lit(".com/"))
+    html = F.concat(
+        F.lit('<a href="'), hub1, F.lit('">go '), ds, F.lit("</a>"),
+        F.lit('<a href="'), hub2, F.lit('">see '), ds, F.lit("</a>"),
+        F.lit('<a href="'), hub1, F.lit('" rel="nofollow">skip</a>'),
+        F.lit('<a href="'), hub1, F.lit('"><img src="i.png"></a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://pg"), ds, F.lit(".com/p")).alias("url"),
+        html.alias("html"),
+    )
+    return anchor_field(pages, max_texts=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2283,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_strip": q_exif_strip,
         "sitemap_entries": q_sitemap_entries,
         "tracking_strip": q_tracking_strip,
+        "anchor_field": q_anchor_field,
     }
 
 
@@ -4388,5 +4419,34 @@ def oracle_sql() -> dict[str, str]:
                    base || CASE WHEN query <> '' AND q2 <> ''
                                 THEN '?' || q2 ELSE '' END || frag AS stripped
             FROM kept
+        """,
+        "anchor_field": r"""
+            -- re-plant the followable anchors (nofollow and image-only
+            -- rows gated), re-run ordering, cap and the space join
+            WITH pages AS (
+                SELECT doc_id, 'http://pg' || doc_id || '.com/p' AS page_url
+                FROM documents
+            ), anchors AS (
+                SELECT page_url, 0 AS pos,
+                       'http://hub' || (doc_id % 20) || '.com/' AS target,
+                       'go ' || doc_id AS text
+                FROM pages
+                UNION ALL
+                SELECT page_url, 1,
+                       'http://hub' || ((doc_id + 7) % 20) || '.com/',
+                       'see ' || doc_id
+                FROM pages
+            ), ranked AS (
+                SELECT target, text,
+                       row_number() OVER (PARTITION BY target
+                           ORDER BY page_url, pos, text) AS rn,
+                       count(*) OVER (PARTITION BY target) AS n_anchors
+                FROM anchors
+            )
+            SELECT target,
+                   CAST(max(n_anchors) AS BIGINT) AS n_anchors,
+                   string_agg(text, ' ' ORDER BY rn)
+                       FILTER (WHERE rn <= 10) AS anchor_field
+            FROM ranked GROUP BY target
         """,
     }

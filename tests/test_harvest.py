@@ -219,3 +219,35 @@ class TestAnchorTexts:
         df = spark.createDataFrame([("u", "<a href='/a'>t</a>")], "url string, html string")
         plan = harvest_anchor_texts(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestAnchorField:
+    def test_aggregation_and_order(self, spark):
+        from webscraping_spark.operators.harvest import anchor_field
+
+        pages = [
+            ("http://a.com/x", '<a href="/t">from ax</a><a href="http://b.com/t">cross</a>'),
+            ("http://a.com/y", '<a href="/t">from ay</a><a href="/t" rel="nofollow">hidden</a>'),
+            ("http://b.com/z", '<a href="/t">from bz</a><a href="/img"><img src="i.png"></a>'),
+        ]
+        df = spark.createDataFrame(pages, "url string, html string")
+        rows = {r["target"]: r for r in anchor_field(df).collect()}
+        t = rows["http://a.com/t"]
+        # deterministic (page_url, pos) order; nofollow dropped
+        assert t["anchor_field"] == "from ax from ay" and t["n_anchors"] == 2
+        assert rows["http://b.com/t"]["anchor_field"] == "cross from bz"
+        assert "http://b.com/img" not in rows  # NULL-text anchors gated
+
+    def test_cap_and_partitioning_invariance(self, spark):
+        from webscraping_spark.operators.harvest import anchor_field
+
+        pages = [
+            (f"http://s{i:02d}.com/p", f'<a href="http://hub.com/">text {i:02d}</a>')
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(pages, "url string, html string")
+        (r1,) = anchor_field(df, max_texts=5).collect()
+        (r2,) = anchor_field(df.repartition(7), max_texts=5).collect()
+        assert r1["n_anchors"] == 30
+        assert r1["anchor_field"] == "text 00 text 01 text 02 text 03 text 04"
+        assert r1["anchor_field"] == r2["anchor_field"]

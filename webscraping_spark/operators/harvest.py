@@ -203,6 +203,55 @@ def harvest_anchor_texts(
     )
 
 
+def anchor_field(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_texts: int = 100,
+    drop_nofollow: bool = True,
+) -> DataFrame:
+    """Inbound anchor-text field per TARGET url: ``(target, n_anchors,
+    anchor_field)`` — the classic ranking signal (anchor text describes
+    the target better than the target itself) in the shape
+    operators/search.py's BM25 indexes as a document field and
+    operators/graph.py's PageRank can personalize on.
+
+    Pipeline: ``harvest_anchor_texts`` -> nofollow/NULL-text gate ->
+    ``canonicalize_split(base=page_url)`` (targets land in the same key
+    space as crawled URLs) -> ONE target-keyed aggregation collecting
+    texts in deterministic (page_url, pos) order, capped at
+    ``max_texts`` per target (hub targets like a homepage collect
+    millions of anchors; the cap bounds state exactly like the per-page
+    link cap, reference download.py:1046). Map-side combinable; the
+    per-target slice happens after ``sort_array`` on the collected
+    (page_url, pos, text) structs, so any partitioning yields the same
+    field string."""
+    from webscraping_spark.functions.udfs import canonicalize_split
+
+    a = harvest_anchor_texts(df, html_col=html_col, url_col=url_col)
+    a = a.filter(F.col("anchor_text").isNotNull() & (F.col("href") != ""))
+    if drop_nofollow:
+        a = a.filter(~F.col("nofollow"))
+    a = canonicalize_split(a, "page_url", "href", "target")
+    agg = a.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct("page_url", "pos", "anchor_text"))
+            ),
+            1,
+            max_texts,
+        ).alias("_texts"),
+    )
+    return agg.select(
+        "target",
+        "n_anchors",
+        F.array_join(
+            F.transform(F.col("_texts"), lambda s: s["anchor_text"]), " "
+        ).alias("anchor_field"),
+    )
+
+
 def harvest_image_pairs(
     df: DataFrame, html_col: str = "html", url_col: str = "url"
 ) -> DataFrame:
