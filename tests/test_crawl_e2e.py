@@ -518,3 +518,47 @@ class TestUrlQualityConfig:
         )
         job.run([pages[0]["url"]])
         assert job.visit_urls() == exp.visit_order
+
+
+class TestTrackingStripInPlan:
+    """CrawlConfig.strip_tracking: tracker-variant links collapse to one
+    frontier entry AFTER canonicalize, BEFORE hash/dedup."""
+
+    def _pages(self):
+        from webscraping_spark.sources import synth
+
+        seed = "http://tsp.com/seed"
+        clean = "http://tsp.com/t?id=1"
+        tracked = "http://tsp.com/t?id=1&utm_source=share"
+        return (
+            [
+                synth.make_page(seed, [tracked, clean]),
+                synth.make_page(clean, []),
+                synth.make_page(tracked, []),
+            ],
+            seed,
+            clean,
+        )
+
+    def test_variants_collapse_with_strip(self, spark):
+        from webscraping_spark.sources import synth
+
+        pages, seed, clean = self._pages()
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, strip_tracking=True),
+        )
+        job.run([seed])
+        assert job.visit_urls() == [seed, clean]  # one fetch, not two
+        assert job.metrics.num_downloads == 2 and job.metrics.num_errors == 0
+
+    def test_variants_stay_distinct_without_strip(self, spark):
+        from webscraping_spark.sources import synth
+
+        pages, seed, clean = self._pages()
+        job = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(max_depth=None)
+        )
+        job.run([seed])
+        assert len(job.visit_urls()) == 3  # reference-parity default

@@ -96,6 +96,13 @@ class CrawlConfig:
     # still consume their position in the per-page link cap, exactly like
     # media-extension-gated links, so ordering semantics are unchanged.
     honor_page_directives: bool = False
+    # opt-in tracking-parameter strip (urlfilter.strip_tracking_params_col)
+    # applied to extracted links AFTER the reference-parity canonicalize
+    # kernel and BEFORE hashing/dedup, so utm_*/click-id variants of one
+    # page collapse to one frontier entry and one fetch. Off by default:
+    # the reference's normalize (download.py:987-1004) keeps the query
+    # verbatim, and parity fixtures must stay bit-exact.
+    strip_tracking: bool = False
     # cache TTL on the politeness timeline, seconds (PersistentDict
     # `expires`, pdict.py:51,202-205): a page fetched at time t is served
     # from cache while now - t < expires, re-fetched after. None = never
@@ -1185,6 +1192,16 @@ class CrawlJob:
         links = udfs.canonicalize_split(
             links, "serve_base", "raw", "link", compact=True
         )
+        if cfg.strip_tracking:
+            from webscraping_spark.operators.urlfilter import (
+                strip_tracking_params_col,
+            )
+
+            # before link_hash/dedup: tracker variants collapse to one
+            # frontier entry (same codegen stage, no extra pass)
+            links = links.withColumn(
+                "link", strip_tracking_params_col(F.col("link"))
+            )
         links = links.withColumn("link_domain", udfs.get_domain_col(F.col("link")))
         valid = (
             ~udfs.is_media_link_col(F.col("link"))
