@@ -335,3 +335,47 @@ class TestManifestRecordCounts:
         assert sum(f["rows"] for f in m["files"]) == 100
         # partitioned layout: each file path carries its partition value
         assert all("bucket=" in f["path"] for f in m["files"])
+
+
+class TestExpireSnapshots:
+    def _table(self, spark, tmp_path, plan):
+        from webscraping_spark.sources.snapshots import SnapshotTable
+
+        tbl = SnapshotTable(str(tmp_path / "exp"), "t")
+        for i, mode in enumerate(plan):
+            df = spark.range(i * 10, i * 10 + 5).withColumnRenamed("id", "k")
+            tbl.commit(df, superstep=i, mode=mode)
+        return tbl
+
+    def test_expiry_respects_delta_anchor(self, spark, tmp_path):
+        import os
+
+        tbl = self._table(spark, tmp_path, ["full", "delta", "delta", "full", "delta"])
+        before = sorted(r["k"] for r in tbl.load(spark).collect())
+        removed = tbl.expire_snapshots(keep_last=2)  # retain v3(full anchor), v4
+        assert removed == [0, 1, 2]
+        assert sorted(r["k"] for r in tbl.load(spark).collect()) == before
+        # retained time travel still works; expired versions are gone
+        assert tbl.read_manifest(3)["mode"] == "full"
+        assert not os.path.exists(tbl._manifest_path(0))
+        assert tbl.expire_snapshots(keep_last=2) == []  # idempotent
+
+    def test_delta_tail_keeps_its_full_base(self, spark, tmp_path):
+        # retained oldest is a DELTA: expiry must stop at its full anchor
+        tbl = self._table(spark, tmp_path, ["full", "full", "delta", "delta"])
+        removed = tbl.expire_snapshots(keep_last=2)  # retain v2,v3 -> anchor v1
+        assert removed == [0]
+        assert tbl.load(spark).count() == 15  # v1 full + v2 + v3 deltas
+
+    def test_older_than_extends_retention(self, spark, tmp_path):
+        tbl = self._table(spark, tmp_path, ["full", "full", "full"])
+        removed = tbl.expire_snapshots(keep_last=1, older_than=0.0)
+        assert removed == []  # everything is newer than epoch 0
+        removed = tbl.expire_snapshots(keep_last=1, older_than=float("inf"))
+        assert removed == [0, 1]
+
+    def test_empty_table_noop(self, spark, tmp_path):
+        from webscraping_spark.sources.snapshots import SnapshotTable
+
+        tbl = SnapshotTable(str(tmp_path / "e"), "t")
+        assert tbl.expire_snapshots() == []

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -147,6 +148,51 @@ class SnapshotTable:
     def chain_locations(self, version: int | None = None) -> list[str]:
         """Data locations for a read at ``version``, oldest first."""
         return [m["location"] for m in self.chain_manifests(version)]
+
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> list[int]:
+        """Iceberg ``expire_snapshots`` parity for the manifest layer:
+        delete snapshot versions (manifest + data dir) no retained read
+        can need, bounding checkpoint disk over a long crawl.
+
+        Retention: the last ``keep_last`` versions always survive;
+        ``older_than`` (a ``committed_at`` epoch) additionally retains
+        every newer version. Because a read at version v chains deltas
+        back to the newest FULL snapshot at-or-before v, expiry keeps
+        everything from the oldest retained version's full-snapshot
+        anchor upward — a delta is never orphaned from its base. Time
+        travel below the anchor becomes unavailable (that is the point);
+        ``load``/resume at any retained version is unchanged. Returns
+        the removed version numbers, oldest first."""
+        cur = self.current_version()
+        if cur < 0:
+            return []
+        oldest_retained = max(0, cur - keep_last + 1)
+        if older_than is not None:
+            v = oldest_retained
+            while v > 0:
+                m = self.read_manifest(v - 1)
+                if m is None or m.get("committed_at", 0) < older_than:
+                    break
+                v -= 1
+            oldest_retained = min(oldest_retained, v)
+        anchor = oldest_retained
+        while anchor > 0:
+            m = self.read_manifest(anchor)
+            if m is None or m.get("mode", "full") == "full":
+                break
+            anchor -= 1
+        removed: list[int] = []
+        for v in range(0, anchor):
+            mp = self._manifest_path(v)
+            if not os.path.exists(mp):
+                continue  # already expired earlier
+            m = self.read_manifest(v)
+            shutil.rmtree(m.get("location", ""), ignore_errors=True)
+            os.remove(mp)
+            removed.append(v)
+        return removed
 
     def load(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         chain = self.chain_manifests(version)
