@@ -2226,6 +2226,28 @@ def q_anchor_field(spark, sf_dir):
     return anchor_field(pages, max_texts=10)
 
 
+def q_adaptive_delays(spark, sf_dir):
+    """AIMD adaptive politeness (politeness.adaptive_delays — reactive
+    per-domain backoff the reference's static delay lacks): 25 planted
+    domains each fold 20 outcomes (every 3rd an error) through the
+    integer AIMD rule (x2 on error capped 60 s, -1 s on success floored
+    at base 5 s) over the last 16 events — the window slice is
+    exercised since 20 > 16 while diagnostics span the full log. One
+    map-side-combinable domain groupBy. The oracle re-runs the
+    identical fold with DuckDB's list_reduce over the same windowed,
+    seq-ordered code list."""
+    from webscraping_spark.operators.politeness import adaptive_delays
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    log = docs.select(
+        F.concat(F.lit("ad"), (d % 25).cast("string"), F.lit(".com")).alias("domain"),
+        d.alias("seq"),
+        (d % 3 != 0).alias("ok"),
+    )
+    return adaptive_delays(log, cap_ms=60_000, window=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2314,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "tracking_strip": q_tracking_strip,
         "anchor_field": q_anchor_field,
+        "adaptive_delays": q_adaptive_delays,
     }
 
 
@@ -4448,5 +4471,38 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, ' ' ORDER BY rn)
                        FILTER (WHERE rn <= 10) AS anchor_field
             FROM ranked GROUP BY target
+        """,
+        "adaptive_delays": r"""
+            -- the identical integer AIMD fold via list_reduce over the
+            -- same last-16, seq-ordered outcome codes
+            WITH ev AS (
+                SELECT 'ad' || (doc_id % 25) || '.com' AS domain,
+                       doc_id AS seq, (doc_id % 3 <> 0) AS ok
+                FROM documents
+            ), ranked AS (
+                SELECT domain, seq, ok,
+                       row_number() OVER (PARTITION BY domain
+                           ORDER BY seq DESC) AS rd
+                FROM ev
+            ), lists AS (
+                SELECT domain,
+                       CAST(count(*) AS BIGINT) AS n_visits,
+                       CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT)
+                           AS n_errors,
+                       list(CAST(CASE WHEN ok THEN 1 ELSE 0 END AS BIGINT)
+                            ORDER BY seq) FILTER (WHERE rd <= 16) AS codes
+                FROM ranked GROUP BY domain
+            ), folded AS (
+                SELECT domain, n_visits, n_errors,
+                       list_reduce(
+                           list_prepend(CAST(5000 AS BIGINT), codes),
+                           (acc, e) -> CASE WHEN e = 1
+                               THEN greatest(acc - 1000, 5000)
+                               ELSE least(acc * 2, 60000) END) AS delay_ms
+                FROM lists
+            )
+            SELECT domain, n_visits, n_errors, delay_ms,
+                   delay_ms / 1000.0 AS crawl_delay
+            FROM folded
         """,
     }

@@ -587,3 +587,71 @@ class TestRequestRate:
         # robotparser records RequestRate(0, 10); spacing is undefined ->
         # no override row rather than a divide-by-zero
         assert politeness_overrides(delays, "bot").collect() == []
+
+
+class TestAdaptiveDelays:
+    def _log(self, spark, events):
+        """events: list of (domain, seq, ok)"""
+        return spark.createDataFrame(events, "domain string, seq long, ok boolean")
+
+    def test_aimd_fold_exact(self, spark):
+        # hand fold (base 5000, x2 on error cap 60000, -1000 on ok floor 5000):
+        # ok 5000 -> err 10000 -> err 20000 -> ok 19000 -> ok 18000
+        log = self._log(
+            spark,
+            [("a.com", i, ok) for i, ok in enumerate([True, False, False, True, True])]
+            + [("b.com", 0, True)],
+        )
+        got = {r["domain"]: r for r in P.adaptive_delays(log, cap_ms=60_000).collect()}
+        a = got["a.com"]
+        assert a["delay_ms"] == 18_000 and a["crawl_delay"] == 18.0
+        assert a["n_visits"] == 5 and a["n_errors"] == 2
+        b = got["b.com"]
+        assert b["delay_ms"] == 5000  # floor: success never goes below base
+
+    def test_cap_floor_and_window(self, spark):
+        # 10 straight errors cap at cap_ms
+        log = self._log(spark, [("c.com", i, False) for i in range(10)])
+        (c,) = P.adaptive_delays(log, cap_ms=40_000).collect()
+        assert c["delay_ms"] == 40_000
+        # ancient errors outside the window are forgotten
+        log2 = self._log(
+            spark,
+            [("d.com", i, False) for i in range(5)]
+            + [("d.com", 100 + i, True) for i in range(8)],
+        )
+        (d,) = P.adaptive_delays(log2, window=8).collect()
+        assert d["delay_ms"] == 5000  # only the 8 recent successes folded
+        assert d["n_errors"] == 5  # diagnostics still span the full log
+
+    def test_partitioning_invariance(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        events = [
+            (f"x{i % 6}.com", i, rnd.random() < 0.6) for i in range(300)
+        ]
+        log = self._log(spark, events)
+        a = sorted(map(tuple, P.adaptive_delays(log).collect()))
+        b = sorted(map(tuple, P.adaptive_delays(log.repartition(13)).collect()))
+        assert a == b
+
+    def test_plugs_into_plan_schedule(self, spark):
+        log = self._log(spark, [("slow.com", i, False) for i in range(4)])
+        overrides = P.adaptive_delays(log, cap_ms=60_000).select("domain", "crawl_delay")
+        rows = [(f"http://slow.com/{i}", "slow.com", 0, i) for i in range(3)] + [
+            (f"http://fast.com/{i}", "fast.com", 0, 10 + i) for i in range(3)
+        ]
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        planned, _ = P.plan_schedule(
+            make_batch(spark, rows), state, 5.0, 0.0, domain_delays=overrides
+        )
+        offs = {}
+        for r in planned.collect():
+            offs.setdefault(r["domain"], []).append(r["scheduled_offset"])
+        slow = sorted(offs["slow.com"])
+        fast = sorted(offs["fast.com"])
+        # 4 errors: 5000 -> 10k -> 20k -> 40k -> 80k, capped at 60000ms =
+        # 60s spacing; fast stays at the config 5s
+        assert abs((slow[1] - slow[0]) - 60.0) < 1e-6
+        assert abs((fast[1] - fast[0]) - 5.0) < 1e-6

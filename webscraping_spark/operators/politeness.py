@@ -330,3 +330,59 @@ def batch_wallclock(planned: DataFrame) -> DataFrame:
         F.count("*").alias("n_fetches"),
         F.countDistinct("domain").alias("n_domains"),
     )
+
+
+def adaptive_delays(
+    visit_log: DataFrame,
+    base_ms: int = 5000,
+    mult: int = 2,
+    dec_ms: int = 1000,
+    cap_ms: int = 300_000,
+    window: int = 256,
+    domain_col: str = "domain",
+    seq_col: str = "seq",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """AIMD per-domain backoff from the visit log (the Heritrix-style
+    reactive politeness the reference lacks — its delay is static,
+    download.py:130): each error multiplies the domain's delay by
+    ``mult`` (capped at ``cap_ms``), each success walks it back by
+    ``dec_ms`` (floored at ``base_ms``), folded in visit order over the
+    domain's LAST ``window`` outcomes. All integer milliseconds, so any
+    engine re-derives the fold bit-exactly.
+
+    Output ``(domain, n_visits, n_errors, delay_ms, crawl_delay)`` plugs
+    straight into ``plan_schedule(domain_delays=...)`` (the robots
+    Crawl-delay seam — the configured delay stays the floor there).
+
+    Scale shape: ONE map-side-combinable-shuffle groupBy on domain; the
+    fold state is bounded by ``window`` per domain (a hub with 10^7
+    visits folds only its most recent outcomes — which is also the
+    correct semantics: backoff should react to the server's current
+    state, not its history), so no unbounded collect_list rides the
+    exchange for hot domains beyond the sorted event slice."""
+    ev = F.sort_array(
+        F.collect_list(F.struct(F.col(seq_col).alias("s"), F.col(ok_col).alias("k")))
+    )
+    n = F.size(ev)
+    last = F.slice(ev, F.greatest(n - F.lit(window) + 1, F.lit(1)), F.lit(window))
+    codes = F.transform(last, lambda e: F.when(e["k"], F.lit(1)).otherwise(F.lit(0)))
+    delay_ms = F.aggregate(
+        codes,
+        F.lit(base_ms).cast("long"),
+        lambda acc, e: F.when(
+            e == 1, F.greatest(acc - F.lit(dec_ms), F.lit(base_ms).cast("long"))
+        ).otherwise(F.least(acc * F.lit(mult), F.lit(cap_ms).cast("long"))),
+    )
+    agg = visit_log.groupBy(F.col(domain_col).alias("domain")).agg(
+        n.alias("_n"),
+        F.size(F.filter(ev, lambda e: ~e["k"])).alias("_ne"),
+        delay_ms.alias("delay_ms"),
+    )
+    return agg.select(
+        "domain",
+        F.col("_n").cast("long").alias("n_visits"),
+        F.col("_ne").cast("long").alias("n_errors"),
+        F.col("delay_ms").cast("long").alias("delay_ms"),
+        (F.col("delay_ms") / 1000.0).alias("crawl_delay"),
+    )
