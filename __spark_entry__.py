@@ -2248,6 +2248,35 @@ def q_adaptive_delays(spark, sf_dir):
     return adaptive_delays(log, cap_ms=60_000, window=16)
 
 
+def q_retry_after(spark, sf_dir):
+    """Retry-After parsing + per-domain hold-off (revalidate.
+    retry_after_seconds_col / retry_after_overrides — RFC 9110
+    §10.2.3, the server-driven politeness signal): planted headers
+    cycle delta-seconds, a future IMF-fixdate (minute/second fields
+    from doc_id), a past date (clamps to 0) and garbage (no signal);
+    25 domains each aggregate 20 mixed rows to their max hold-off.
+    The oracle re-runs the weekday strip, both parse forms, the clamp
+    and the max in DuckDB."""
+    from webscraping_spark.operators.revalidate import retry_after_overrides
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    header = (
+        F.when(d % 4 == 0, (d % 500).cast("string"))
+        .when(d % 4 == 1, F.concat(
+            F.lit("Mon, 01 Jan 2024 00:"),
+            F.lpad((d % 60).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(((d * 7) % 60).cast("string"), 2, "0"), F.lit(" GMT")))
+        .when(d % 4 == 2, F.lit("Sun, 31 Dec 2023 23:59:59 GMT"))
+        .otherwise(F.lit("tomorrow"))
+    )
+    resp = docs.select(
+        F.concat(F.lit("ra"), (d % 25).cast("string"), F.lit(".com")).alias("domain"),
+        header.alias("retry_after"),
+    )
+    return retry_after_overrides(resp, "Mon, 01 Jan 2024 00:00:00 GMT")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2337,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tracking_strip": q_tracking_strip,
         "anchor_field": q_anchor_field,
         "adaptive_delays": q_adaptive_delays,
+        "retry_after": q_retry_after,
     }
 
 
@@ -4504,5 +4534,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_visits, n_errors, delay_ms,
                    delay_ms / 1000.0 AS crawl_delay
             FROM folded
+        """,
+        "retry_after": r"""
+            -- weekday strip, both parse forms, clamp, max per domain
+            WITH resp AS (
+                SELECT 'ra' || (doc_id % 25) || '.com' AS domain,
+                    CASE CAST(doc_id % 4 AS INT)
+                      WHEN 0 THEN CAST(doc_id % 500 AS VARCHAR)
+                      WHEN 1 THEN 'Mon, 01 Jan 2024 00:'
+                          || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+                          || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+                          || ' GMT'
+                      WHEN 2 THEN 'Sun, 31 Dec 2023 23:59:59 GMT'
+                      ELSE 'tomorrow'
+                    END AS h
+                FROM documents
+            ), parsed AS (
+                SELECT domain,
+                    CASE WHEN regexp_matches(trim(h), '^\d{1,9}$')
+                         THEN CAST(trim(h) AS BIGINT)
+                         ELSE date_diff('second',
+                             try_strptime('01 Jan 2024 00:00:00 GMT',
+                                          '%d %b %Y %H:%M:%S GMT'),
+                             try_strptime(
+                                 regexp_replace(trim(h), '^[A-Za-z]{3},\s*', ''),
+                                 '%d %b %Y %H:%M:%S GMT'))
+                    END AS s
+                FROM resp
+            )
+            SELECT domain, CAST(max(greatest(s, 0)) AS DOUBLE) AS crawl_delay
+            FROM parsed WHERE s IS NOT NULL
+            GROUP BY domain
         """,
     }

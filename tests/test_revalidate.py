@@ -139,3 +139,66 @@ class TestMerge:
         )
         got = rv.merge_revalidated(cached, responses, NOW).collect()[0]
         assert got["etag"] == '"keep"' and got["last_modified"] == "Mon"
+
+
+class TestRetryAfter:
+    NOW = "Mon, 01 Jan 2024 00:00:00 GMT"
+
+    def _secs(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from webscraping_spark.operators.revalidate import retry_after_seconds_col
+
+        df = spark.createDataFrame([(v,) for v in vals], "h string")
+        return [
+            r["s"]
+            for r in df.select(
+                retry_after_seconds_col(F.col("h"), F.lit(self.NOW)).alias("s")
+            ).collect()
+        ]
+
+    def test_forms(self, spark):
+        got = self._secs(
+            spark,
+            [
+                "120",                                  # delta-seconds
+                " 7 ",                                  # trimmed
+                "Mon, 01 Jan 2024 00:02:30 GMT",        # future date: 150s
+                "Sun, 31 Dec 2023 23:59:00 GMT",        # past date: clamp 0
+                "soon",                                 # unparseable
+                "99999999999999999999",                 # over 9 digits: no signal
+            ],
+        )
+        assert got == [120, 7, 150, 0, None, None]
+
+    def test_overrides_max_per_domain(self, spark):
+        from webscraping_spark.operators.revalidate import retry_after_overrides
+
+        df = spark.createDataFrame(
+            [
+                ("a.com", "30"),
+                ("a.com", "Mon, 01 Jan 2024 00:01:00 GMT"),  # 60
+                ("a.com", None),
+                ("b.com", "nope"),
+            ],
+            "domain string, retry_after string",
+        )
+        rows = {r["domain"]: r["crawl_delay"] for r in retry_after_overrides(df, self.NOW).collect()}
+        assert rows == {"a.com": 60.0}
+
+    def test_plugs_into_plan_schedule(self, spark):
+        from webscraping_spark.operators import politeness as P
+        from webscraping_spark.operators.revalidate import retry_after_overrides
+
+        sig = spark.createDataFrame(
+            [("s.com", "45")], "domain string, retry_after string"
+        )
+        overrides = retry_after_overrides(sig, self.NOW)
+        batch = spark.createDataFrame(
+            [(f"http://s.com/{i}", "s.com", 0, i) for i in range(2)],
+            "url string, domain string, priority int, seq long",
+        ).withColumn("url_hash", __import__("pyspark.sql.functions", fromlist=["xxhash64"]).xxhash64("url")).withColumn("depth", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0))
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        planned, _ = P.plan_schedule(batch, state, 5.0, 0.0, domain_delays=overrides)
+        offs = sorted(r["scheduled_offset"] for r in planned.collect())
+        assert abs((offs[1] - offs[0]) - 45.0) < 1e-6

@@ -142,3 +142,60 @@ def merge_revalidated(
         )
         .drop("_r_url", "_r_status", "_r_body", "_r_etag", "_r_lm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retry-After (RFC 9110 §10.2.3): the server-driven politeness signal on
+# 429/503 responses — delta-seconds or an IMF-fixdate. Both forms parse
+# TZ-invariantly (the date form is differenced against a NOW given in the
+# same format through the same parser, so session-timezone offsets cancel)
+# and feed the planner's domain-delay seam.
+# ---------------------------------------------------------------------------
+
+# Spark's proleptic parser rejects 'EEE' as a PARSE pattern; the weekday
+# is redundant in an IMF-fixdate, so it is stripped pre-parse (DuckDB
+# twin does the same strip, keeping the chains identical)
+_HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def _http_ts(s: Column) -> Column:
+    return F.try_to_timestamp(
+        F.regexp_replace(F.trim(s), r"^[A-Za-z]{3},\s*", ""), F.lit(_HTTP_DATE_FMT)
+    )
+
+
+def retry_after_seconds_col(header: Column, now_http_date: Column) -> Column:
+    """Seconds to hold off, from a Retry-After header value: delta-
+    seconds pass through (bounded to 9 digits — ANSI-safe), an
+    IMF-fixdate differences against ``now_http_date`` (same format),
+    past dates clamp to 0, unparseable values -> NULL (no signal)."""
+    h = F.trim(header)
+    delta = F.when(h.rlike(r"^\d{1,9}$"), h.cast("long"))
+    ts = _http_ts(h)
+    now = _http_ts(now_http_date)
+    date_secs = F.when(
+        ts.isNotNull() & now.isNotNull(), ts.cast("long") - now.cast("long")
+    )
+    out = F.coalesce(delta, date_secs)
+    return F.when(out.isNotNull(), F.greatest(out, F.lit(0).cast("long")))
+
+
+def retry_after_overrides(
+    responses: DataFrame,
+    now_http_date: str,
+    domain_col: str = "domain",
+    header_col: str = "retry_after",
+) -> DataFrame:
+    """Per-domain hold-off from a batch of responses: ``(domain,
+    crawl_delay)`` — the MAX parsed Retry-After per domain, in the
+    plan_schedule(domain_delays=...) shape (config delay stays the
+    floor there; adaptive_delays composes via greatest upstream).
+    Rows with no parseable signal drop out. One map-side-combinable
+    groupBy over only the (tiny) signal-bearing rows."""
+    secs = retry_after_seconds_col(F.col(header_col), F.lit(now_http_date))
+    return (
+        responses.select(F.col(domain_col).alias("domain"), secs.alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .groupBy("domain")
+        .agg((F.max("_s").cast("double")).alias("crawl_delay"))
+    )
