@@ -2277,6 +2277,22 @@ def q_retry_after(spark, sf_dir):
     return retry_after_overrides(resp, "Mon, 01 Jan 2024 00:00:00 GMT")
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity partition (lm.ccnet_buckets
+    composed over fit_bigram_lm + perplexity — Wenzek et al. 2020
+    §4.3): the full LM pipeline scores every doc, then the corpus
+    splits at the exact n//3 and 2n//3 order statistics of (ppl,
+    doc_id); under-2-token docs carry a NULL bucket. Assignment is a
+    broadcast of two scalar cutoffs — zero corpus shuffle. The oracle
+    extends the lm_perplexity re-derivation with rank tertiles, which
+    the order-statistic thresholds equal exactly (ids are unique, so
+    the (ppl, id) order is total)."""
+    from webscraping_spark.operators.lm import ccnet_buckets, fit_bigram_lm, perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(perplexity(docs, fit_bigram_lm(docs)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
@@ -2367,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_field": q_anchor_field,
         "adaptive_delays": q_adaptive_delays,
         "retry_after": q_retry_after,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -4565,5 +4582,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, CAST(max(greatest(s, 0)) AS DOUBLE) AS crawl_delay
             FROM parsed WHERE s IS NOT NULL
             GROUP BY domain
+        """,
+        "ccnet_buckets": """
+            -- the lm_perplexity re-derivation extended with rank
+            -- tertiles (== the engine's exact order-statistic cutoffs)
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(lower(text)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+') END AS tk
+                FROM documents
+            ), pairs AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+                FROM toks, unnest(range(1, len(tk))) AS u(i)
+            ), uni AS (
+                SELECT w, count(*) AS c1
+                FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+            ), bi AS (
+                SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+            ), v AS (
+                SELECT count(*) AS vs FROM uni
+            ), scored AS (
+                SELECT p.doc_id,
+                       CAST(round(ln((coalesce(bi.c12, 0) + 1.0)
+                                     / (coalesce(uni.c1, 0) + 1.0 * v.vs))
+                                  * 1e6) AS BIGINT) AS lp
+                FROM pairs p
+                LEFT JOIN bi USING (w1, w2)
+                LEFT JOIN uni ON uni.w = p.w1
+                CROSS JOIN v
+            ), per_doc AS (
+                SELECT doc_id, sum(lp) AS lps, count(*) AS n
+                FROM scored GROUP BY doc_id
+            ), final AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(p.n, 0) AS INT) AS n_bigrams,
+                       CASE WHEN coalesce(p.n, 0) > 0
+                            THEN round(exp(-(p.lps / 1e6) / p.n), 6)
+                       END AS ppl
+                FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            ), nn AS (
+                SELECT doc_id, ppl FROM final WHERE ppl IS NOT NULL
+            ), cnt AS (
+                SELECT count(*) AS n FROM nn
+            ), rk AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY ppl, doc_id) AS rn
+                FROM nn
+            )
+            SELECT f.doc_id, f.n_bigrams, f.ppl,
+                   CASE WHEN f.ppl IS NULL THEN NULL
+                        WHEN rk.rn <= cnt.n // 3 THEN 'head'
+                        WHEN rk.rn <= (2 * cnt.n) // 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM final f LEFT JOIN rk USING (doc_id) CROSS JOIN cnt
         """,
     }

@@ -98,3 +98,50 @@ class TestPerplexity:
         a = sorted(map(tuple, lm.perplexity(sdf, fitted).collect()))
         b = sorted(map(tuple, lm.perplexity(sdf.repartition(13), fitted).collect()))
         assert a == b
+
+
+class TestCcnetBuckets:
+    def _scored(self, spark, ppls):
+        rows = [(i, float(p) if p is not None else None) for i, p in enumerate(ppls)]
+        return spark.createDataFrame(rows, "doc_id long, ppl double")
+
+    def test_rank_tertiles_exact(self, spark):
+        from webscraping_spark.operators.lm import ccnet_buckets
+
+        # 9 docs, ppl = reversed ids so rank order != id order
+        scored = self._scored(spark, [90, 80, 70, 60, 50, 40, 30, 20, 10])
+        got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(scored).collect()}
+        assert [got[i] for i in range(9)] == [
+            "tail", "tail", "tail", "middle", "middle", "middle",
+            "head", "head", "head",
+        ]
+
+    def test_nulls_and_small_n(self, spark):
+        from webscraping_spark.operators.lm import ccnet_buckets
+
+        got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(
+            self._scored(spark, [5.0, None, 7.0])  # n=2: k1=0, k2=1
+        ).collect()}
+        assert got[1] is None
+        assert got[0] == "middle" and got[2] == "tail"
+
+    def test_tie_break_on_id(self, spark):
+        from webscraping_spark.operators.lm import ccnet_buckets
+
+        got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(
+            self._scored(spark, [5.0, 5.0, 5.0])
+        ).collect()}
+        assert got == {0: "head", 1: "middle", 2: "tail"}
+
+    def test_sampled_cutoffs_deterministic(self, spark):
+        from webscraping_spark.operators.lm import ccnet_buckets
+
+        scored = self._scored(spark, list(range(1, 301)))
+        a = sorted(map(tuple, ccnet_buckets(scored, sample_mod=4).collect()))
+        b = sorted(map(tuple, ccnet_buckets(scored.repartition(7), sample_mod=4).collect()))
+        assert a == b
+        # roughly tertile-sized buckets from the sampled cutoffs
+        from collections import Counter
+
+        c = Counter(x[2] for x in a)
+        assert all(60 < c[k] < 140 for k in ("head", "middle", "tail"))

@@ -123,3 +123,66 @@ def perplexity(
         n.alias("n_bigrams"),
         ppl.alias("ppl"),
     )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    ppl_col: str = "ppl",
+    sample_mod: int = 1,
+    salt: str = "ccnet",
+) -> DataFrame:
+    """CCNet's signature head/middle/tail partition (Wenzek et al. 2020
+    §4.3): the corpus splits into perplexity tertiles — 'head' is the
+    cleanest third under the LM, 'tail' the noisiest; training recipes
+    then sample buckets at different rates.
+
+    Deterministic contract: the two cutoffs are the exact k-th order
+    statistics (k = n//3 and 2n//3) of the (ppl, id) total order over
+    the cutoff population; a row's bucket is head if its (ppl, id) key
+    is <= the first cutoff, middle if <= the second, else tail — ties
+    cannot exist (id is unique), so this equals rank tertiles exactly.
+    NULL-ppl rows (under-2-token docs) get a NULL bucket.
+
+    Scale shape: the ASSIGNMENT is one broadcast of two scalar cutoffs
+    (zero corpus shuffle). The CUTOFF computation is n//3-deep top-k;
+    at corpus scale set ``sample_mod`` > 1 to compute cutoffs on the
+    deterministic md5-contract subsample (id-keyed, engine-reproducible
+    — the same estimate-quantiles-on-a-sample move CCNet itself makes),
+    which bounds the top-k working set to n/sample_mod."""
+    from webscraping_spark.operators.sampling import _hash_bucket
+
+    valid = scored.filter(F.col(ppl_col).isNotNull())
+    pop = valid
+    if sample_mod > 1:
+        pop = valid.filter(_hash_bucket(F.col(id_col), salt) % sample_mod == 0)
+    n = pop.count()
+    k1, k2 = n // 3, (2 * n) // 3
+
+    def kth(k: int):
+        if k <= 0:
+            return None
+        return (
+            pop.orderBy(ppl_col, id_col)
+            .limit(k)
+            .agg(
+                F.max(
+                    F.struct(F.col(ppl_col).alias("p"), F.col(id_col).alias("i"))
+                ).alias("c")
+            )
+            .collect()[0]["c"]
+        )
+
+    c1, c2 = kth(k1), kth(k2)
+    key = F.struct(F.col(ppl_col).alias("p"), F.col(id_col).alias("i"))
+
+    def lit_cut(c):
+        return F.struct(F.lit(c["p"]).alias("p"), F.lit(c["i"]).alias("i"))
+
+    bucket = F.when(F.col(ppl_col).isNull(), F.lit(None).cast("string"))
+    if c1 is not None:
+        bucket = bucket.when(key <= lit_cut(c1), F.lit("head"))
+    if c2 is not None:
+        bucket = bucket.when(key <= lit_cut(c2), F.lit("middle"))
+    bucket = bucket.otherwise(F.lit("tail"))
+    return scored.withColumn("bucket", bucket)
