@@ -1529,6 +1529,86 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_image_quality(spark, sf_dir):
+    """No-reference image quality scoring (multimodal.image_quality) with
+    a hard violation-set oracle over planted degradations: 12 noise + 12
+    smooth base images each get a 5x5 box-blurred copy whose sharpness
+    must come out STRICTLY lower (blur is the metric's defining
+    degradation); 8 flat images must score exactly 0 sharpness, contrast
+    and entropy; 8 grayscale ramps must score exactly 0 colorfulness (the
+    opponent axes vanish identically); every image must land in
+    brightness [0,255] and entropy [0,8]. The query returns the violation
+    rows; the SQL oracle encodes 'empty' literally (the
+    image_phash_near_dup pattern — pixel math is not re-derivable in SQL,
+    the planted contracts are)."""
+    import numpy as np
+
+    from webscraping_spark.operators.multimodal import image_quality
+    from webscraping_spark.sources import images
+
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for d in doc_ids:
+        for maker, tag in (
+            (images.synth_pixels, "n"),
+            (images.synth_smooth_pixels, "s"),
+        ):
+            px = maker(f"q{tag}{d}", w=48, h=40)
+            rows.append((f"q{tag}{d}", bytearray(images.encode_image(px, "png")), "png"))
+            rows.append(
+                (
+                    f"q{tag}{d}_blur",
+                    bytearray(images.encode_image(images.box_blur(px, 5), "png")),
+                    "png",
+                )
+            )
+    for d in doc_ids[:8]:
+        flat = np.full((24, 32, 3), (d * 29) % 256, dtype=np.uint8)
+        rows.append((f"flat{d}", bytearray(images.encode_image(flat, "png")), "png"))
+        ramp = np.tile(
+            (np.arange(32, dtype=np.uint16) * (3 + d) % 256).astype(np.uint8),
+            (24, 1),
+        )
+        gray = np.stack([ramp] * 3, axis=2)
+        rows.append((f"gray{d}", bytearray(images.encode_image(gray, "png")), "png"))
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    q = image_quality(pages)
+    base = q.filter(~F.col("image_id").rlike("_blur$|^flat|^gray")).select(
+        F.col("image_id").alias("bid"), F.col("sharpness").alias("s0")
+    )
+    blurred = q.filter(F.col("image_id").rlike("_blur$")).select(
+        F.regexp_replace("image_id", "_blur$", "").alias("bid"),
+        F.col("sharpness").alias("s1"),
+    )
+    v_blur = (
+        base.join(blurred, "bid")
+        .filter(F.col("s1") >= F.col("s0"))
+        .select(F.col("bid").alias("image_id"), F.lit("blur_not_softer").alias("kind"))
+    )
+    v_flat = q.filter(
+        F.col("image_id").startswith("flat")
+        & (
+            (F.col("sharpness") != 0.0)
+            | (F.col("contrast") != 0.0)
+            | (F.col("entropy") != 0.0)
+        )
+    ).select("image_id", F.lit("flat_not_zero").alias("kind"))
+    v_gray = q.filter(
+        F.col("image_id").startswith("gray") & (F.col("colorfulness") != 0.0)
+    ).select("image_id", F.lit("gray_colorful").alias("kind"))
+    v_range = q.filter(
+        ~F.col("brightness").between(0.0, 255.0)
+        | ~F.col("entropy").between(0.0, 8.0)
+    ).select("image_id", F.lit("out_of_range").alias("kind"))
+    return v_blur.unionByName(v_flat).unionByName(v_gray).unionByName(v_range)
+
+
 def q_cache_revalidation_policy(spark, sf_dir):
     """RFC 9111 freshness policy (operators/revalidate.py cache_policy):
     200 planted cache entries cycle validators (etag d%2, last-modified
@@ -2362,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         "image_pair_harvest": q_image_pair_harvest,
         "image_caption_filter": q_image_caption_filter,
+        "image_quality": q_image_quality,
         "page_directives": q_page_directives,
         "canonical_clusters": q_canonical_clusters,
         "cache_revalidation_policy": q_cache_revalidation_policy,
@@ -3102,6 +3183,17 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS kept
             FROM ids, (VALUES ('_half'), ('_bright')) AS v(sfx)
             WHERE doc_id < 6
+        """,
+        "image_quality": """
+            -- contract: decode -> no-reference quality scores must honor
+            -- the planted degradations (5x5 box blur strictly reduces
+            -- Laplacian-variance sharpness on 24 base images; flat images
+            -- score exactly 0 sharpness/contrast/entropy; grayscale ramps
+            -- exactly 0 colorfulness; brightness in [0,255], entropy in
+            -- [0,8]); the Spark side returns the violation set, which
+            -- must be empty
+            SELECT CAST(NULL AS VARCHAR) AS image_id, CAST(NULL AS VARCHAR) AS kind
+            WHERE 1 = 0
         """,
         "image_dct_near_dup": """
             -- contract: decode -> DCT perceptual hash -> 8-band Hamming

@@ -563,6 +563,121 @@ def sample_video_frames(
     )
 
 
+def image_quality(pages: DataFrame) -> DataFrame:
+    """No-reference image quality signals — the pixel-level curation stage
+    LAION-style pipelines run AFTER the metadata gate (image_caption_filter
+    decides without decoding; this op is the decode-and-look pass for the
+    survivors): ``(image_id, w, h, sharpness, contrast, brightness,
+    colorfulness, entropy)``.
+
+    - ``sharpness``: variance of the 3x3 Laplacian over the image interior
+      (the classic blur detector — Pech-Pacheco et al. 2000); a blurred or
+      out-of-focus image scores near 0, and 0 exactly when under 3x3 or
+      constant.
+    - ``contrast``: RMS contrast (population std of the BT.601 gray plane).
+    - ``brightness``: mean gray — the over/under-exposure signal.
+    - ``colorfulness``: Hasler-Suesstrunk (2003) opponent-axis metric
+      ``sqrt(std_rg^2 + std_yb^2) + 0.3 * sqrt(mean_rg^2 + mean_yb^2)``;
+      exactly 0 for grayscale content (rg and yb vanish identically).
+    - ``entropy``: Shannon bits over the 256-bin floor-quantized gray
+      histogram; 0 exactly for flat images, <= 8 always.
+
+    All per-image math is vectorized numpy inside one ``mapInPandas`` pass
+    (decode cannot stay JVM-side); undecodable rows are skipped, matching
+    every other decode op here. At 10^10 images this is an embarrassingly
+    parallel map — no shuffle, state bounded by one Arrow batch. Gate the
+    scores relationally with :func:`gate_image_quality` so the thresholds
+    stay in codegen and compose with the caption gate's ``keep``."""
+
+    def score(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "image_id",
+                    "w",
+                    "h",
+                    "sharpness",
+                    "contrast",
+                    "brightness",
+                    "colorfulness",
+                    "entropy",
+                )
+            }
+            for i in range(len(pdf)):
+                try:
+                    px = images.decode_image(
+                        bytes(pdf["bytes"].iloc[i]), pdf["fmt"].iloc[i]
+                    )
+                except Exception:
+                    continue
+                rgb = px.astype(np.float64)
+                gray = rgb @ np.array([0.299, 0.587, 0.114])
+                h, w = gray.shape
+                if h >= 3 and w >= 3:
+                    c = gray[1:-1, 1:-1]
+                    lap = (
+                        4.0 * c
+                        - gray[:-2, 1:-1]
+                        - gray[2:, 1:-1]
+                        - gray[1:-1, :-2]
+                        - gray[1:-1, 2:]
+                    )
+                    sharp = float(lap.var())
+                else:
+                    sharp = 0.0
+                rg = rgb[:, :, 0] - rgb[:, :, 1]
+                yb = 0.5 * (rgb[:, :, 0] + rgb[:, :, 1]) - rgb[:, :, 2]
+                colorful = float(
+                    np.sqrt(rg.std() ** 2 + yb.std() ** 2)
+                    + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+                )
+                hist = np.bincount(
+                    np.clip(gray, 0.0, 255.0).astype(np.int64).ravel(),
+                    minlength=256,
+                )
+                p = hist[hist > 0] / gray.size
+                out["image_id"].append(pdf["image_id"].iloc[i])
+                out["w"].append(w)
+                out["h"].append(h)
+                out["sharpness"].append(sharp)
+                out["contrast"].append(float(gray.std()))
+                out["brightness"].append(float(gray.mean()))
+                out["colorfulness"].append(colorful)
+                out["entropy"].append(float(-(p * np.log2(p)).sum()))
+            yield pd.DataFrame(out)
+
+    return pages.select("image_id", "bytes", "fmt").mapInPandas(
+        score,
+        "image_id string, w int, h int, sharpness double, contrast double, "
+        "brightness double, colorfulness double, entropy double",
+    )
+
+
+def gate_image_quality(
+    pages: DataFrame,
+    min_sharpness: float = 10.0,
+    min_contrast: float = 4.0,
+    min_entropy: float = 2.0,
+    brightness_range: tuple[float, float] = (16.0, 240.0),
+) -> DataFrame:
+    """:func:`image_quality` plus the ANDed ``keep`` flag: drop blurry
+    (sharpness), flat/low-dynamic-range (contrast, entropy) and over/
+    under-exposed (brightness window) images. The thresholds live in one
+    codegen projection OVER the scored frame, so the flag composes with
+    ``image_caption_filter``'s metadata ``keep`` by a plain AND — the
+    decode pass stays the only Python."""
+    q = image_quality(pages)
+    lo, hi = brightness_range
+    keep = (
+        (F.col("sharpness") >= float(min_sharpness))
+        & (F.col("contrast") >= float(min_contrast))
+        & (F.col("entropy") >= float(min_entropy))
+        & F.col("brightness").between(float(lo), float(hi))
+    )
+    return q.withColumn("keep", keep)
+
+
 def image_caption_filter(
     pairs: DataFrame,
     caption_col: str = "caption",

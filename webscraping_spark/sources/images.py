@@ -313,6 +313,25 @@ def bilinear_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return g00 * (1 - wy) * (1 - wx) + g01 * (1 - wy) * wx + g10 * wy * (1 - wx) + g11 * wy * wx
 
 
+def box_blur(pixels: np.ndarray, k: int = 3) -> np.ndarray:
+    """Deterministic k x k mean filter per channel, edge-clamped (the
+    degradation fixture for the image-quality sharpness metric: a blur
+    strictly shrinks the Laplacian response on any non-constant image).
+    Integral-image sliding sum — O(hw) regardless of k; round-half-up to
+    uint8 so the result is engine- and platform-reproducible."""
+    if k < 1 or k % 2 == 0:
+        raise ValueError("box_blur kernel must be odd and >= 1")
+    pad = k // 2
+    p = np.pad(
+        pixels.astype(np.float64), ((pad, pad), (pad, pad), (0, 0)), mode="edge"
+    )
+    s = np.zeros((p.shape[0] + 1, p.shape[1] + 1, p.shape[2]))
+    s[1:, 1:] = p.cumsum(0).cumsum(1)
+    h, w = pixels.shape[:2]
+    tot = s[k : k + h, k : k + w] - s[:h, k : k + w] - s[k : k + h, :w] + s[:h, :w]
+    return np.clip(np.floor(tot / (k * k) + 0.5), 0, 255).astype(np.uint8)
+
+
 _DCT32 = None
 
 
