@@ -1529,6 +1529,34 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide CCNet paragraph dedup (dedup.paragraph_dedup) with a
+    FULL re-derivation oracle: documents are re-shaped into multi-
+    paragraph pages by planting a shared 'Cookie Notice' header (one
+    corpus-wide survivor), a digit-varying 'page N of M' footer (CCNet
+    normalization folds all variants to one key — one survivor), and body
+    paragraphs split on the literal token ' a ' (both engines' replace is
+    left-to-right non-overlapping, so the split is identical). DuckDB
+    re-derives normalize -> first-(doc,pos)-occurrence-wins -> text
+    rebuild -> counts end-to-end."""
+    from webscraping_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    pages = docs.select(
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("Cookie Notice\n"),
+            F.replace(F.col("text"), F.lit(" a "), F.lit("\n")),
+            F.lit("\npage "),
+            (d % 10).cast("string"),
+            F.lit(" of "),
+            (d % 7).cast("string"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(pages)
+
+
 def q_image_quality(spark, sf_dir):
     """No-reference image quality scoring (multimodal.image_quality) with
     a hard violation-set oracle over planted degradations: 12 noise + 12
@@ -2443,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pair_harvest": q_image_pair_harvest,
         "image_caption_filter": q_image_caption_filter,
         "image_quality": q_image_quality,
+        "paragraph_dedup": q_paragraph_dedup,
         "page_directives": q_page_directives,
         "canonical_clusters": q_canonical_clusters,
         "cache_revalidation_policy": q_cache_revalidation_policy,
@@ -3183,6 +3212,58 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS kept
             FROM ids, (VALUES ('_half'), ('_bright')) AS v(sfx)
             WHERE doc_id < 6
+        """,
+        "paragraph_dedup": """
+            -- full re-derivation of CCNet paragraph dedup over the same
+            -- planted multi-paragraph pages: normalize (lower, digits->0,
+            -- whitespace collapse, trim), drop whitespace-only paragraphs,
+            -- keep only the min-(doc_id, pos) occurrence per key, rebuild
+            -- the text in paragraph order
+            WITH base AS (
+                SELECT doc_id,
+                       'Cookie Notice' || chr(10)
+                       || replace(text, ' a ', chr(10))
+                       || chr(10) || 'page ' || CAST(doc_id % 10 AS VARCHAR)
+                       || ' of ' || CAST(doc_id % 7 AS VARCHAR) AS text
+                FROM documents WHERE doc_id < 400
+            ), paras AS (
+                SELECT doc_id, u['pos'] AS pos, u['para'] AS para
+                FROM (
+                    SELECT doc_id,
+                           unnest([{'pos': i - 1, 'para': arr[i]}
+                                   FOR i IN range(1, len(arr) + 1)]) AS u
+                    FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+                          FROM base)
+                )
+            ), valid AS (
+                SELECT doc_id, pos, para,
+                       trim(regexp_replace(regexp_replace(lower(para),
+                            '[0-9]', '0', 'g'), '\\s+', ' ', 'g')) AS key
+                FROM paras
+                WHERE trim(regexp_replace(regexp_replace(lower(para),
+                            '[0-9]', '0', 'g'), '\\s+', ' ', 'g')) <> ''
+            ), kept AS (
+                SELECT doc_id, pos, para
+                FROM (SELECT doc_id, pos, para,
+                             row_number() OVER (PARTITION BY key
+                                 ORDER BY doc_id, pos) AS rn
+                      FROM valid)
+                WHERE rn = 1
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(para, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id
+            ), np AS (
+                SELECT doc_id, count(*) AS n_paragraphs
+                FROM valid GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(a.text, '') AS text,
+                   coalesce(np.n_paragraphs, 0) AS n_paragraphs,
+                   coalesce(a.n_kept, 0) AS n_kept
+            FROM base b
+            LEFT JOIN np USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
         """,
         "image_quality": """
             -- contract: decode -> no-reference quality scores must honor

@@ -7,6 +7,8 @@ DataFrame-native; Python appears only in Arrow-batched numpy kernels.
 
 Operators:
   exact_dedup         hash-groupBy on the raw text (md5)
+  paragraph_dedup     corpus-wide CCNet paragraph dedup (normalize ->
+                      hash -> min-(doc,pos) keeper -> rebuild text)
   shingles            word k-shingle hash explode (building block)
   ngram_jaccard_pairs exact Jaccard over shingle sets (the oracle for the
                       approximate methods; self-join on shingle hash)
@@ -48,6 +50,88 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), "\\s+")
+
+
+def _ccnet_para_key(text):
+    """CCNet's paragraph-normalization key (Wenzek et al. 2020 §3.1):
+    lowercase, digits to 0, whitespace collapsed, trimmed — so near-
+    identical boilerplate lines ('page 1 of 7' vs 'Page 2 of 9') hash
+    together. Pure codegen; identically expressible in ANSI SQL."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[0-9]", "0"), "\\s+", " "
+        )
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Corpus-level exact paragraph deduplication — CCNet's first pipeline
+    stage (Wenzek et al. 2020 §3.1: hash every paragraph, drop duplicate
+    hashes corpus-wide, which removes ~70% of raw Common Crawl text:
+    headers, navigation, cookie banners), also run by RefinedWeb and
+    FineWeb. A 'paragraph' is a newline-separated segment, the WET-file
+    convention CCNet itself hashes.
+
+    Deterministic contract: whitespace-only paragraphs (empty after the
+    normalization trim — this removal applies in both modes) are dropped
+    outright; among paragraphs sharing a key, the single occurrence with
+    the MINIMUM (doc_id, pos) survives — a total
+    order, so the result is bit-identical under any partitioning and
+    re-derivable by the driver's SQL oracle end-to-end. Output: one row
+    per input doc, ``(id, text, n_paragraphs, n_kept)`` with the deduped
+    text rebuilt in original paragraph order (docs losing every paragraph
+    keep their row with text = '').
+
+    Scale shape at 100 TB: posexplode (no shuffle) -> ONE map-side-
+    combinable groupBy on the 64-bit paragraph key emitting the min
+    (doc_id, pos) keeper -> semi-join back on (key, doc_id, pos) -> ONE
+    doc-keyed re-aggregation. The keeper table carries only (hash, id,
+    pos) — the paragraph text never rides an exchange twice."""
+    d, txt = F.col(id_col), F.col(text_col)
+    paras = docs.select(
+        d.alias("_id"), F.posexplode(F.split(txt, "\n")).alias("pos", "para")
+    )
+    key = _ccnet_para_key(F.col("para")) if normalize else F.col("para")
+    paras = paras.withColumn("_key", F.xxhash64(key)).filter(
+        (F.trim(_ccnet_para_key(F.col("para"))) != "")
+    )
+    keeper = paras.groupBy("_key").agg(
+        F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_win")
+    )
+    kept = paras.join(
+        keeper,
+        (paras["_key"] == keeper["_key"])
+        & (paras["_id"] == keeper["_win"]["_id"])
+        & (paras["pos"] == keeper["_win"]["pos"]),
+        "left_semi",
+    )
+    agg = kept.groupBy("_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("_text"),
+    )
+    n_paras = paras.groupBy("_id").agg(F.count("*").alias("_n_paras"))
+    return (
+        docs.select(d.alias("_id"))
+        .join(n_paras, "_id", "left")
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("_n_paras"), F.lit(0)).cast("long").alias("n_paragraphs"),
+            F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
 
 
 def shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
