@@ -564,6 +564,38 @@ def q_ivf_topk(spark, sf_dir):
     return outside.unionByName(self_missing)
 
 
+def q_pq_topk(spark, sf_dir):
+    """PQ-ANN violation set (hard oracle: EMPTY). Eight EXACT duplicates
+    of vec 0 are planted (identical float32 payloads, so they tie the
+    query at cosine 1.0 and their PQ codes equal the query's own code
+    word — the global ADC minimum), per-subspace codebooks are fitted
+    distributively, and the two-stage pq_topk (ADC shortlist -> exact
+    cosine re-rank) returns k=9. Violations: any returned id outside the
+    independently-computed exact top-50 ball, the query's own id missing,
+    or any planted duplicate missing (all nine cosine-1.0 vectors must
+    fill the nine slots)."""
+    from webscraping_spark.operators.similarity import cosine_topk, pq_fit, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planted = spark.range(8).select(
+        (F.col("id") + 200000).alias("vec_id"),
+        F.array(*[F.lit(float(x)).cast("float") for x in qvec]).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    books = pq_fit(corpus, m=4, n_codes=16, n_iters=4)
+    approx = pq_topk(corpus, list(qvec), books, k=9, refine=30)
+    exact_ball = cosine_topk(corpus, list(qvec), k=50)
+    outside = approx.select("vec_id").join(
+        exact_ball.select("vec_id"), "vec_id", "left_anti"
+    )
+    must_have = spark.range(8).select(
+        (F.col("id") + 200000).alias("vec_id")
+    ).unionByName(spark.range(1).select(F.lit(0).cast("long").alias("vec_id")))
+    missing = must_have.join(approx.select("vec_id"), "vec_id", "left_anti")
+    return outside.unionByName(missing)
+
+
 def q_pagerank_links(spark, sf_dir):
     """Distributed PageRank (operators/graph.py) over a deterministic
     synthetic link graph built from doc ids (two modular edges per doc
@@ -2438,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "pagerank_links": q_pagerank_links,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
@@ -3649,6 +3682,13 @@ def oracle_sql() -> dict[str, str]:
             -- violation set: IVF-ANN ids outside the exact cosine top-50
             -- ball (planted scaled copies of vec 0 dominate it), or the
             -- query's own id missing from the results — must be empty
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "pq_topk": """
+            -- violation set: two-stage PQ-ANN (ADC shortlist over the
+            -- codes table -> exact cosine re-rank) ids outside the exact
+            -- top-50 ball, or the query / any planted exact duplicate
+            -- missing from the nine cosine-1.0 slots — must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
         "pagerank_links": _pagerank_oracle(),

@@ -1,9 +1,11 @@
 """Similarity search over embedding columns (ARRAY<FLOAT>).
 
 Baseline: exact brute-force cosine top-k with pure JVM higher-order
-functions (zip_with dot product — no Python in the scan). Scale path:
-random-hyperplane LSH bucketing so each query probes a bucket, not the
-corpus; recall is tested against the brute-force baseline.
+functions (zip_with dot product — no Python in the scan). Scale paths:
+random-hyperplane LSH bucketing (data-oblivious), IVF probed cells
+(data-adaptive coarse quantizer), and PQ/ADC (memory-bounded codes —
+the scan never reads the float column); recall for each is tested
+against the brute-force baseline.
 """
 
 from __future__ import annotations
@@ -295,3 +297,185 @@ def ivf_topk(
         "left_semi",
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN: per-subspace k-means codebooks + ADC scan
+# — the FAISS-PQ memory path. At 10^10 vectors a float corpus is ~2.5 PB;
+# m 1-byte codes per vector (m=8: 8 bytes, 320x smaller than 64 floats)
+# keep the scanned table small enough that the ADC pass is IO-trivial,
+# and the scan itself is pure whole-stage codegen over a constant-folded
+# lookup table — zero Python, zero shuffle, TakeOrderedAndProject top-k.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (Jegou et al. 2011): the dim-d space
+    splits into ``m`` contiguous subspaces of d/m dims; each gets its own
+    ``n_codes``-centroid L2 k-means (classic PQ quantizes raw L2 geometry
+    — unlike the spherical coarse quantizer in ``ivf_fit``). Returns the
+    ``(m, n_codes, d//m)`` float64 codebook tensor.
+
+    Deterministic init as in ``ivf_fit``: the ``n_codes`` corpus vectors
+    with the smallest ``xxhash64(id, seed)``, sliced per subspace — same
+    codebooks on every run and partitioning. Each Lloyd iteration is ONE
+    mapInPandas pass over the corpus: m small gemms assign every vector's
+    m sub-slices, and each Arrow batch emits at most ``m * n_codes``
+    skinny partial rows (subspace, code, count, sum) — the driver collect
+    is bounded by partitions x m x n_codes, never corpus size. Empty
+    codes keep their previous centroid."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("cannot fit PQ on an empty corpus")
+    mat0 = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    d = mat0.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if len(mat0) < n_codes:
+        raise ValueError(f"corpus smaller than n_codes={n_codes}")
+    books = np.stack([mat0[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    out_schema = "subspace int, code int, cnt long, vecsum array<double>"
+    for _ in range(n_iters):
+        books_b = books.copy()
+
+        def partial(batches, books_b=books_b):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                rows = []
+                for j in range(m):
+                    sub = mat[:, j * dsub : (j + 1) * dsub]
+                    # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2)
+                    score = sub @ books_b[j].T - 0.5 * (books_b[j] ** 2).sum(axis=1)
+                    assign = np.argmax(score, axis=1)
+                    for c in np.unique(assign):
+                        sel = sub[assign == c]
+                        rows.append((j, int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(
+                    rows, columns=["subspace", "code", "cnt", "vecsum"]
+                )
+
+        partials = (
+            embeddings.select(vec_col).mapInPandas(partial, out_schema).collect()
+        )
+        new = np.zeros_like(books)
+        counts = np.zeros((m, n_codes))
+        for r in partials:
+            new[r["subspace"], r["code"]] += np.asarray(r["vecsum"], dtype=np.float64)
+            counts[r["subspace"], r["code"]] += r["cnt"]
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty][:, None]
+        new[~nonempty] = books[~nonempty]
+        books = new
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): each vector's per-subspace nearest-centroid
+    codes — one gemm scan per Arrow batch. This is the encode-once-at-rest
+    step: persist the result partitioned however the corpus is and the
+    ADC scan below never touches the float column again."""
+    mcount, n_codes, dsub = codebooks.shape
+    out_schema = f"{id_col} long, codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), mcount), dtype=np.int32)
+            for j in range(mcount):
+                sub = mat[:, j * dsub : (j + 1) * dsub]
+                score = sub @ codebooks[j].T - 0.5 * (codebooks[j] ** 2).sum(axis=1)
+                codes[:, j] = np.argmax(score, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the CODES table only: the query's
+    (m x n_codes) squared-L2 lookup table is computed driver-side and
+    embedded as a constant-folded literal array, the per-row distance is
+    one ``aggregate`` over the m codes (pure whole-stage codegen — the
+    float corpus is never read), and the ascending top-k compiles to
+    TakeOrderedAndProject. Returns (id, adc_dist)."""
+    mcount, n_codes, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != mcount * dsub:
+        raise ValueError("query dim does not match codebooks")
+    lut = np.stack(
+        [
+            ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(mcount)
+        ]
+    )
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    c = F.col(codes_col)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mcount - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.element_at(lut_lit, j + 1), F.element_at(c, j + 1) + 1),
+    )
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ANN end to end: encode -> ADC top-k, optionally re-ranked. With
+    ``refine`` > 0 the ADC pass shortlists ``refine`` candidates and the
+    final k are EXACT-cosine re-ranked over just those rows (the standard
+    two-stage: the cheap code scan does the winnowing, the float read is
+    bounded by ``refine``). ADC ranks by L2 — for cosine semantics feed
+    unit-normalized vectors or use the refine stage, whose output ranking
+    is exact cosine regardless."""
+    enc = pq_encode(embeddings, codebooks, id_col, vec_col)
+    if refine <= 0:
+        return pq_adc_topk(enc, query_vec, codebooks, k, id_col)
+    short = pq_adc_topk(enc, query_vec, codebooks, max(refine, k), id_col)
+    cands = embeddings.join(short.select(id_col), id_col, "left_semi")
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
