@@ -1561,6 +1561,36 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_domain_budget(spark, sf_dir):
+    """Per-domain crawl budget (frontier.domain_budget_gate) with a FULL
+    re-derivation oracle: 400 candidates over 25 planted domains, a
+    visited-counts table consuming part of ten domains' budgets (one
+    overdrawn past the cap — remaining clamps to 0, never negative) and
+    per-domain overrides tightening one domain and widening another.
+    DuckDB re-derives domain, coalesced counts, override-vs-default
+    budget, the row_number fill order (seq then url) and the keep flag."""
+    from webscraping_spark.operators.frontier import domain_budget_gate
+
+    d = F.col("doc_id")
+    cands = _t(spark, sf_dir, "documents").filter(d < 400).select(
+        F.concat(
+            F.lit("http://d"), (d % 25).cast("string"), F.lit(".com/p"),
+            d.cast("string"),
+        ).alias("url"),
+        ((d * 13) % 400).cast("long").alias("seq"),
+    )
+    visited = spark.createDataFrame(
+        [(f"d{i}.com", i * 4) for i in range(10)],
+        "domain string, n_visited long",
+    )
+    overrides = spark.createDataFrame(
+        [("d3.com", 2), ("d7.com", 100)], "domain string, max_pages long"
+    )
+    return domain_budget_gate(
+        cands, visited, max_pages=12, domain_overrides=overrides
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide CCNet paragraph dedup (dedup.paragraph_dedup) with a
     FULL re-derivation oracle: documents are re-shaped into multi-
@@ -2505,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_filter": q_image_caption_filter,
         "image_quality": q_image_quality,
         "paragraph_dedup": q_paragraph_dedup,
+        "domain_budget": q_domain_budget,
         "page_directives": q_page_directives,
         "canonical_clusters": q_canonical_clusters,
         "cache_revalidation_policy": q_cache_revalidation_policy,
@@ -3245,6 +3276,38 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS kept
             FROM ids, (VALUES ('_half'), ('_bright')) AS v(sfx)
             WHERE doc_id < 6
+        """,
+        "domain_budget": """
+            -- full re-derivation of the per-domain crawl budget: planted
+            -- domain from doc_id arithmetic, visited counts coalesced to
+            -- 0, override-else-default budget, row_number fill order
+            -- (seq, url), keep = rank <= greatest(budget - visited, 0)
+            WITH cands AS (
+                SELECT 'http://d' || CAST(doc_id % 25 AS VARCHAR)
+                       || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id * 13) % 400 AS seq,
+                       'd' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS domain
+                FROM documents WHERE doc_id < 400
+            ), visited AS (
+                SELECT 'd' || CAST(i AS VARCHAR) || '.com' AS domain,
+                       i * 4 AS n_visited
+                FROM range(10) t(i)
+            ), ov AS (
+                SELECT 'd3.com' AS domain, 2 AS max_pages
+                UNION ALL SELECT 'd7.com', 100
+            ), joined AS (
+                SELECT c.domain, c.url, c.seq,
+                       coalesce(v.n_visited, 0) AS n_visited,
+                       coalesce(o.max_pages, 12) AS budget,
+                       row_number() OVER (PARTITION BY c.domain
+                           ORDER BY c.seq, c.url) AS budget_rank
+                FROM cands c
+                LEFT JOIN visited v USING (domain)
+                LEFT JOIN ov o USING (domain)
+            )
+            SELECT domain, url, seq, n_visited, budget, budget_rank,
+                   budget_rank <= greatest(budget - n_visited, 0) AS keep
+            FROM joined
         """,
         "paragraph_dedup": """
             -- full re-derivation of CCNet paragraph dedup over the same

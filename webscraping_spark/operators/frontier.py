@@ -204,3 +204,68 @@ def _discovery_order(candidates: DataFrame):
     if "discovery_order" in candidates.columns:
         return [F.col("discovery_order")]
     return [F.col("depth"), F.col("url")]
+
+
+def domain_budget_gate(
+    candidates: DataFrame,
+    visited_counts: DataFrame | None = None,
+    max_pages: int = 1000,
+    domain_overrides: DataFrame | None = None,
+    url_col: str = "url",
+    order_cols: tuple[str, ...] = ("seq",),
+) -> DataFrame:
+    """Per-domain crawl budget — the Heritrix 'queue budget' the reference
+    lacks (its only cap is the global max_urls, download.py:855): each
+    domain may contribute at most ``max_pages`` pages to the whole crawl,
+    so one 10^8-URL host cannot monopolize a 10^10-URL frontier.
+
+    Input plus ``(domain, n_visited, budget, budget_rank, keep)``:
+    remaining slots per domain are ``greatest(budget - n_visited, 0)``
+    (``visited_counts`` is a ``(domain, n_visited)`` table, one groupBy of
+    the visit log away; None means nothing visited), and candidates fill
+    them in deterministic ``order_cols``-then-url order via one row_number
+    window. ``domain_overrides`` is an optional broadcast-able
+    ``(domain, max_pages)`` table for per-host policies; the scalar is the
+    default.
+
+    Scale shape: ONE window shuffle keyed on domain — the same key the
+    politeness planner already shuffles on, so at 10^10 URLs this gate
+    rides the existing exchange; the two joins are against small
+    per-domain tables (broadcast). Skewed hot domains are exactly the
+    rows the rank cutoff truncates, so the window's sort never holds more
+    than a batch's worth of any domain beyond its budget."""
+    from pyspark.sql import Window
+
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    out = candidates
+    if "domain" not in out.columns:
+        out = out.withColumn("domain", get_domain_col(F.col(url_col)))
+    if visited_counts is not None:
+        vc = visited_counts.select(
+            "domain", F.col("n_visited").cast("long").alias("n_visited")
+        )
+        out = out.join(F.broadcast(vc), "domain", "left")
+    else:
+        out = out.withColumn("n_visited", F.lit(None).cast("long"))
+    out = out.withColumn("n_visited", F.coalesce(F.col("n_visited"), F.lit(0)))
+    if domain_overrides is not None:
+        ov = domain_overrides.select(
+            "domain", F.col("max_pages").cast("long").alias("_ov")
+        )
+        out = out.join(F.broadcast(ov), "domain", "left")
+    else:
+        out = out.withColumn("_ov", F.lit(None).cast("long"))
+    out = out.withColumn(
+        "budget", F.coalesce(F.col("_ov"), F.lit(int(max_pages)).cast("long"))
+    ).drop("_ov")
+    w = Window.partitionBy("domain").orderBy(
+        *[F.col(c).asc() for c in order_cols], F.col(url_col).asc()
+    )
+    return out.withColumn(
+        "budget_rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "keep",
+        F.col("budget_rank")
+        <= F.greatest(F.col("budget") - F.col("n_visited"), F.lit(0).cast("long")),
+    )
