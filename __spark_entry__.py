@@ -618,6 +618,97 @@ def q_pagerank_links(spark, sf_dir):
     return pagerank(edges, n_iters=4).select("node", "rank_micro")
 
 
+def q_hits_links(spark, sf_dir):
+    """Synchronous integer HITS (operators/graph.hits) over a
+    deterministic synthetic link graph from doc ids (two modular edges
+    per doc plus a hub edge from every 7th doc to node 0 — identical
+    construction in the SQL oracle). Hubs init to 1 and the raw scores
+    are pure int64 sums, so three rounds are bit-exactly reproducible;
+    the oracle unrolls the same auth/hub recurrence in chained CTEs and
+    re-derives the end-only double normalization."""
+    from webscraping_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 5 + 3) % n).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 11 + 1) % n).alias("dst"))
+    e3 = docs.filter(d % 7 == 0).select(
+        d.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return hits(e1.unionByName(e2).unionByName(e3), n_iters=3)
+
+
+def _hits_oracle(n_iters: int = 3) -> str:
+    """Unroll the integer HITS recurrence as chained CTEs — same edge
+    construction as q_hits_links, hubs init 1, auth = sum of in-neighbor
+    hubs then hub = sum of out-neighbor auths per round, end-only double
+    normalization."""
+    head = """
+        WITH cnt AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 5 + 3) % cnt.n AS dst
+            FROM documents CROSS JOIN cnt
+            UNION ALL
+            SELECT doc_id, (doc_id * 11 + 1) % cnt.n
+            FROM documents CROSS JOIN cnt
+            UNION ALL
+            SELECT doc_id, 0 FROM documents WHERE doc_id % 7 = 0
+        ),
+        nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+            UNION SELECT DISTINCT dst FROM edges
+        ),
+        h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+    body = ""
+    prev_h = "h0"
+    for i in range(1, n_iters + 1):
+        body += f""",
+        a{i} AS (
+            SELECT n.node, coalesce(s.s, 0) AS auth
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(h.hub) AS s
+                FROM edges e JOIN {prev_h} h ON e.src = h.node
+                GROUP BY e.dst
+            ) s USING (node)
+        ),
+        h{i} AS (
+            SELECT n.node, coalesce(s.s, 0) AS hub
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node, sum(a.auth) AS s
+                FROM edges e JOIN a{i} a ON e.dst = a.node
+                GROUP BY e.src
+            ) s USING (node)
+        )"""
+        prev_h = f"h{i}"
+    tail = f""",
+        tot AS (SELECT sum(auth) AS ta FROM a{n_iters}),
+        toth AS (SELECT sum(hub) AS th FROM h{n_iters})
+        SELECT a.node,
+               a.auth AS auth_raw,
+               h.hub AS hub_raw,
+               CAST(a.auth AS DOUBLE) / CAST(tot.ta AS DOUBLE) AS auth,
+               CAST(h.hub AS DOUBLE) / CAST(toth.th AS DOUBLE) AS hub
+        FROM a{n_iters} a
+        JOIN h{n_iters} h USING (node)
+        CROSS JOIN tot CROSS JOIN toth"""
+    return head + body + tail
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle (sampling.epoch_shuffle)
+    with a FULL re-derivation oracle: the md5(id:salt:e{epoch}) order key,
+    the 32-bit-bucket shard assignment and the per-shard row_number are
+    all engine-reproducible (the md5-contract convention of hash_split),
+    so DuckDB re-derives the complete (shard, pos) permutation."""
+    from webscraping_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400).select(
+        "doc_id"
+    )
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+
+
 def _pagerank_oracle(n_iters: int = 4, damping: int = 85) -> str:
     """Unroll the exact integer PageRank recurrence as chained CTEs —
     same edge construction, same floor divisions as q_pagerank_links."""
@@ -2502,6 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "pagerank_links": q_pagerank_links,
+        "hits_links": q_hits_links,
+        "epoch_shuffle": q_epoch_shuffle,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -3755,6 +3848,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
         "pagerank_links": _pagerank_oracle(),
+        "hits_links": _hits_oracle(),
+        "epoch_shuffle": """
+            -- full re-derivation of the per-epoch shuffle: md5 order key,
+            -- 32-bit-bucket shard, per-shard dense row_number
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':shuffle:e1') AS key
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id,
+                   CAST(('0x' || substr(key, 1, 8))::UBIGINT % 8 AS INT) AS shard,
+                   row_number() OVER (
+                       PARTITION BY ('0x' || substr(key, 1, 8))::UBIGINT % 8
+                       ORDER BY key, doc_id
+                   ) AS pos
+            FROM keyed
+        """,
         "fingerprint": """
             -- full re-derivation of the winnowing fingerprint: min over
             -- 8-byte windows of the FNV-prime polynomial rolling hash of

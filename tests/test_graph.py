@@ -67,3 +67,55 @@ class TestPageRank:
         some = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError):
             graph.pagerank(some, damping_pct=100)
+
+
+def _py_hits(edges, n_iters):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: 1 for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iters):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+    return a, h
+
+
+class TestHITS:
+    def test_exact_integer_parity(self, spark, edges_df):
+        got = {
+            r["node"]: (r["auth_raw"], r["hub_raw"])
+            for r in graph.hits(edges_df, n_iters=3).collect()
+        }
+        a, h = _py_hits(EDGES, 3)
+        assert got == {v: (a[v], h[v]) for v in a}
+
+    def test_partitioning_invariant_exactly(self, spark, edges_df):
+        base = sorted(map(tuple, graph.hits(edges_df, n_iters=3).collect()))
+        shuf = sorted(
+            map(tuple, graph.hits(edges_df.repartition(7, "dst"), n_iters=3).collect())
+        )
+        assert base == shuf
+
+    def test_hub_and_authority_separation(self, spark, edges_df):
+        rows = {r["node"]: r for r in graph.hits(edges_df, n_iters=3).collect()}
+        # node 0 is everyone's target: top authority; node 5 only links
+        # out (to the best authorities): hub strictly beats its authority
+        assert rows[0]["auth_raw"] == max(r["auth_raw"] for r in rows.values())
+        assert rows[5]["hub_raw"] > rows[5]["auth_raw"] == 0
+        # normalized columns sum to 1
+        assert sum(r["auth"] for r in rows.values()) == pytest.approx(1.0)
+        assert sum(r["hub"] for r in rows.values()) == pytest.approx(1.0)
+
+    def test_overflow_guard(self, spark):
+        # star graph: hub 0 -> 5000 leaves; 40 rounds would blow int64
+        e = spark.range(5000).selectExpr("CAST(0 AS LONG) src", "id + 1 dst")
+        with pytest.raises(ValueError, match="overflow"):
+            graph.hits(e, n_iters=40)
+
+    def test_empty_guard(self, spark):
+        empty = spark.createDataFrame([], "src long, dst long")
+        with pytest.raises(ValueError, match="empty"):
+            graph.hits(empty)

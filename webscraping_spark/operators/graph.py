@@ -1,4 +1,5 @@
-"""Link-graph analytics for frontier prioritization: distributed PageRank.
+"""Link-graph analytics for frontier prioritization: distributed PageRank
+and HITS (both integer-fixed-point, bit-exact across partitionings).
 
 A crawler's best-first ordering wants a global link-importance signal;
 PageRank over the (src, dst) link table is the canonical one (Page et al.
@@ -101,4 +102,107 @@ def pagerank(
         "node",
         "rank_micro",
         (F.col("rank_micro").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous HITS (Kleinberg 1999): ``(node, auth_raw, hub_raw,
+    auth, hub)`` after ``n_iters`` full auth+hub rounds — the
+    hubs-and-authorities complement to PageRank for frontier
+    prioritization (a directory page is a great *hub* to crawl even when
+    its own authority is low; PageRank cannot tell the two apart).
+
+    Determinism contract: hubs init to integer 1; each round is
+    ``auth = sum of in-neighbor hubs`` then ``hub = sum of out-neighbor
+    auths`` in pure int64 — integer sums are reduction-order-free, so the
+    raw scores are bit-identical across partitionings and engines, and
+    the driver oracle unrolls the same recurrence in SQL. Normalization
+    happens ONCE at the end (HITS rankings are scale-invariant, so
+    in-loop normalization is a numerical convenience, not semantics):
+    ``auth = auth_raw / sum(auth_raw)`` in IEEE double.
+
+    Because the loop never rescales, raw scores grow like
+    (max_in_degree x max_out_degree)^iters; the operator computes that
+    bound up front (two degree aggregates) and raises rather than
+    silently overflowing int64 — at web scale run fewer iterations or
+    PageRank (which renormalizes by construction). Each iteration is two
+    skinny join+groupBy rounds, the same O(iters)-shuffle shape as
+    pagerank, with per-iteration persists so Catalyst does not re-optimize
+    a deepening chain."""
+    import math
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty edge set")
+    degs = e.groupBy("src").agg(F.count("*").alias("d")).agg(
+        F.max("d").alias("mo")
+    ).first()
+    degs_in = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
+        F.max("d").alias("mi")
+    ).first()
+    max_out, max_in = int(degs["mo"]), int(degs_in["mi"])
+    if n_iters * (math.log2(max(max_in, 1)) + math.log2(max(max_out, 1))) > 62:
+        raise ValueError(
+            f"raw HITS scores would overflow int64 after {n_iters} rounds "
+            f"(max in-degree {max_in}, out-degree {max_out}); lower n_iters "
+            "or use pagerank()"
+        )
+
+    hubs = nodes.withColumn("hub_raw", F.lit(1).cast("long")).persist()
+    auths = None
+    for _ in range(n_iters):
+        new_auths = (
+            nodes.join(
+                e.join(hubs, e["src"] == hubs["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub_raw").alias("s"))
+                .withColumnRenamed("dst", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("auth_raw"))
+            .persist()
+        )
+        if auths is not None:
+            auths.unpersist()
+        auths = new_auths
+        new_hubs = (
+            nodes.join(
+                e.join(auths, e["dst"] == auths["node"])
+                .groupBy("src")
+                .agg(F.sum("auth_raw").alias("s"))
+                .withColumnRenamed("src", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("hub_raw"))
+            .persist()
+        )
+        hubs.unpersist()
+        hubs = new_hubs
+    totals = auths.join(hubs, "node").agg(
+        F.sum("auth_raw").alias("ta"), F.sum("hub_raw").alias("th")
+    ).first()
+    ta, th = max(int(totals["ta"]), 1), max(int(totals["th"]), 1)
+    return (
+        auths.join(hubs, "node")
+        .select(
+            "node",
+            "auth_raw",
+            "hub_raw",
+            (F.col("auth_raw").cast("double") / F.lit(float(ta))).alias("auth"),
+            (F.col("hub_raw").cast("double") / F.lit(float(th))).alias("hub"),
+        )
     )

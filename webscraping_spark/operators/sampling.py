@@ -108,6 +108,52 @@ def fraction_sample(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the corpus randomization a
+    training loader needs (a new pseudorandom order every epoch, the SAME
+    order for every re-run of that epoch; T5/TFDS-style deterministic
+    input pipelines): input plus ``(shard, pos)`` where reading shards
+    0..n-1 each in ``pos`` order IS the epoch's permutation.
+
+    The key is the full md5 of ``id:salt:e{epoch}`` — uniform (shards
+    balance), engine-reproducible (unlike ``rand()`` or a partitioning-
+    dependent ``df.sample``), and collision-free for distinct ids in
+    practice, with the id itself as the deterministic tie-break. ``shard``
+    is the key's 32-bit bucket mod ``n_shards``; ``pos`` is a row_number
+    within the shard over (key, id).
+
+    Scale shape: ONE window shuffle keyed on shard — n_shards even
+    partitions by construction (the bucket is uniform), so the sort state
+    per task is corpus/n_shards regardless of how skewed the input
+    partitioning was. Write the result partitioned by shard and an epoch
+    of training reads sequential files."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(f":{salt}:e{int(epoch)}")
+        )
+    )
+    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    out = df.withColumn("_shuffle_key", key).withColumn(
+        "shard", (bucket % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_shuffle_key").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop(
+        "_shuffle_key"
+    )
+
+
 def chunk_documents(
     docs,
     window: int = 128,
