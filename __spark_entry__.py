@@ -1652,6 +1652,74 @@ def q_image_caption_filter(spark, sf_dir):
     ).drop("bytes")
 
 
+def q_crawl_churn(spark, sf_dir):
+    """Snapshot diff + per-domain churn (recrawl.crawl_diff /
+    domain_churn) with a FULL re-derivation oracle: two crawl snapshots
+    are planted from documents (old = ids 0-299, new = ids 100-399, every
+    3rd overlapping page's hash mutated), so added/removed/changed/same
+    all fire; DuckDB re-derives the full-outer diff, the per-domain
+    counts and the integer churn percentage."""
+    from webscraping_spark.operators.recrawl import crawl_diff, domain_churn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://c"), (d % 10).cast("string"), F.lit(".com/p"), d.cast("string")
+    )
+    old = docs.filter(d < 300).select(
+        url.alias("url"), F.md5(F.col("text")).alias("content_hash")
+    )
+    new = docs.filter((d >= 100) & (d < 400)).select(
+        url.alias("url"),
+        F.when(d % 3 == 0, F.md5(F.concat(F.col("text"), F.lit("x"))))
+        .otherwise(F.md5(F.col("text")))
+        .alias("content_hash"),
+    )
+    return domain_churn(crawl_diff(old, new))
+
+
+def q_dom_templates(spark, sf_dir):
+    """DOM skeleton fingerprints + per-domain template clusters
+    (content.dom_signature / template_clusters) with a FULL re-derivation
+    oracle: pages are planted from documents with one of three tag
+    skeletons (by doc_id % 3) and per-doc text, across five domains —
+    pages sharing a skeleton cluster despite distinct text. DuckDB
+    re-derives the opening-tag extraction, the lowercased comma-joined
+    md5 signature, and the (domain, sig) counts with min-url
+    representatives."""
+    from webscraping_spark.operators.content import template_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    body = F.substring(F.col("text"), 1, 40)
+    html = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<html><BODY><h1>t</h1><p>"), body, F.lit("</p></body></html>")
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("<html><body><div><p>"), body,
+                F.lit('</p><a href="/">m</a></div></body></html>'),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<html><body><ul><li>"), body, F.lit("</li></ul></body></html>"))
+        )
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("http://t"), (d % 5).cast("string"), F.lit(".com/p"),
+            d.cast("string"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return template_clusters(pages)
+
+
 def q_domain_budget(spark, sf_dir):
     """Per-domain crawl budget (frontier.domain_budget_gate) with a FULL
     re-derivation oracle: 400 candidates over 25 planted domains, a
@@ -2629,6 +2697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_budget": q_domain_budget,
+        "crawl_churn": q_crawl_churn,
+        "dom_templates": q_dom_templates,
         "page_directives": q_page_directives,
         "canonical_clusters": q_canonical_clusters,
         "cache_revalidation_policy": q_cache_revalidation_policy,
@@ -3369,6 +3439,74 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS kept
             FROM ids, (VALUES ('_half'), ('_bright')) AS v(sfx)
             WHERE doc_id < 6
+        """,
+        "crawl_churn": """
+            -- full re-derivation of the snapshot diff + per-domain churn:
+            -- planted old/new snapshots, full-outer join by url,
+            -- added/removed/changed/same, integer churn percent of live
+            WITH old AS (
+                SELECT 'http://c' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       'c' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS domain,
+                       md5(text) AS h
+                FROM documents WHERE doc_id < 300
+            ), new AS (
+                SELECT 'http://c' || CAST(doc_id % 10 AS VARCHAR)
+                       || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       'c' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS domain,
+                       CASE WHEN doc_id % 3 = 0 THEN md5(text || 'x')
+                            ELSE md5(text) END AS h
+                FROM documents WHERE doc_id >= 100 AND doc_id < 400
+            ), diff AS (
+                SELECT coalesce(o.domain, n.domain) AS domain,
+                       CASE WHEN o.h IS NULL THEN 'added'
+                            WHEN n.h IS NULL THEN 'removed'
+                            WHEN o.h <> n.h THEN 'changed'
+                            ELSE 'same' END AS change
+                FROM old o FULL OUTER JOIN new n USING (url)
+            ), agg AS (
+                SELECT domain,
+                       sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS n_added,
+                       sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+                       sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+                       sum(CASE WHEN change = 'same' THEN 1 ELSE 0 END) AS n_same
+                FROM diff GROUP BY domain
+            )
+            SELECT domain, n_added, n_removed, n_changed, n_same,
+                   CASE WHEN n_added + n_changed + n_same > 0
+                        THEN (100 * (n_added + n_changed))
+                             // (n_added + n_changed + n_same)
+                        ELSE 0 END AS churn_pct
+            FROM agg
+        """,
+        "dom_templates": """
+            -- full re-derivation of DOM template clustering: rebuild the
+            -- same planted HTML, extract opening tag names, lowercase,
+            -- md5 the comma-joined skeleton, count per (domain, sig)
+            WITH pages AS (
+                SELECT 'http://t' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       't' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain,
+                       CASE doc_id % 3
+                         WHEN 0 THEN '<html><BODY><h1>t</h1><p>'
+                              || substr(text, 1, 40) || '</p></body></html>'
+                         WHEN 1 THEN '<html><body><div><p>'
+                              || substr(text, 1, 40)
+                              || '</p><a href="/">m</a></div></body></html>'
+                         ELSE '<html><body><ul><li>'
+                              || substr(text, 1, 40) || '</li></ul></body></html>'
+                       END AS html
+                FROM documents WHERE doc_id < 300
+            ), sigs AS (
+                SELECT domain, url,
+                       md5(array_to_string(list_transform(
+                           regexp_extract_all(html, '<([a-zA-Z][a-zA-Z0-9]*)', 1),
+                           x -> lower(x)), ',')) AS dom_sig
+                FROM pages
+            )
+            SELECT domain, dom_sig, count(*) AS n_pages, min(url) AS sample_url
+            FROM sigs GROUP BY domain, dom_sig
+            HAVING count(*) >= 2
         """,
         "domain_budget": """
             -- full re-derivation of the per-domain crawl budget: planted

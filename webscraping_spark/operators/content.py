@@ -246,3 +246,56 @@ def extract_main_content(
         F.size(kept).alias("n_kept"),
         F.length(main_text).alias("content_chars"),
     )
+
+
+def dom_signature(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Input plus ``(n_tags, dom_sig)``: the page's DOM *skeleton*
+    fingerprint — md5 of the comma-joined lowercase sequence of opening
+    tag names. Two pages rendered from the same server-side template
+    share a skeleton even when every text node differs, so this is the
+    structural complement to urlfilter's URL templates (template traps
+    that vary the path but serve one layout) and the cluster key for
+    per-site boilerplate analysis (one main_content tuning per template,
+    not per page).
+
+    md5 (not xxhash64) by the engine's oracle convention — bit-identical
+    in DuckDB. One regexp_extract_all + array ops projection: zero
+    shuffle, zero Python, fuses into whatever stage already scans the
+    HTML."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit("<([a-zA-Z][a-zA-Z0-9]*)"), F.lit(1)
+    )
+    low = F.transform(tags, F.lower)
+    return pages.select(
+        "*",
+        F.size(tags).cast("int").alias("n_tags"),
+        F.md5(F.array_join(low, ",")).alias("dom_sig"),
+    )
+
+
+def template_clusters(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_pages: int = 2,
+) -> DataFrame:
+    """Per-domain DOM-template clusters: ``(domain, dom_sig, n_pages,
+    sample_url)`` for skeletons shared by >= ``min_pages`` pages —
+    sample_url is the MIN url (deterministic representative). One
+    map-side-combinable groupBy on (domain, dom_sig); the HTML never
+    rides the exchange (the signature replaced it in the projection)."""
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    sig = dom_signature(pages, html_col, url_col)
+    return (
+        sig.groupBy(
+            get_domain_col(F.col(url_col)).alias("domain"), F.col("dom_sig")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.min(url_col).alias("sample_url"),
+        )
+        .filter(F.col("n_pages") >= int(min_pages))
+    )

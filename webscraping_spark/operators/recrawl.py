@@ -100,3 +100,67 @@ def schedule_recrawls(
     return priorities.orderBy(
         F.col("priority").desc(), F.col(url_col)
     ).limit(k)
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Diff two crawl snapshots by URL: ``(url, change)`` where change is
+    'added' (in new only), 'removed' (in old only), 'changed' (both, hash
+    differs) or 'same' — the observation feed for the change-rate
+    estimator above (each 'changed'/'same' row is one (url, fetched,
+    changed?) history event) and the crawl-ops dashboard's churn signal.
+
+    One full-outer join on the URL — both snapshots are typically stored
+    bucketed by url_hash (the visited-table convention, plans/crawl.py),
+    in which case this is a zero-exchange sort-merge over co-located
+    buckets. No Python, no window."""
+    o = old.select(F.col(url_col).alias("url"), F.col(hash_col).alias("_oh"))
+    n = new.select(F.col(url_col).alias("url"), F.col(hash_col).alias("_nh"))
+    j = o.join(n, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("change"),
+    )
+
+
+def domain_churn(diff: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-domain churn from a ``crawl_diff`` output: ``(domain, n_added,
+    n_removed, n_changed, n_same, churn_pct)`` — the aggregate that
+    decides which hosts earn a faster revisit cadence before any per-URL
+    history exists (a domain with 40% churn between two crawls needs
+    denser sampling than a static archive). churn_pct is integer percent
+    of non-removed URLs that are added or changed (floor division —
+    engine-reproducible). One map-side-combinable groupBy on domain."""
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    agg = diff.groupBy(get_domain_col(F.col(url_col)).alias("domain")).agg(
+        F.sum((F.col("change") == "added").cast("long")).alias("n_added"),
+        F.sum((F.col("change") == "removed").cast("long")).alias("n_removed"),
+        F.sum((F.col("change") == "changed").cast("long")).alias("n_changed"),
+        F.sum((F.col("change") == "same").cast("long")).alias("n_same"),
+    )
+    live = F.col("n_added") + F.col("n_changed") + F.col("n_same")
+    return agg.select(
+        "domain",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_same",
+        F.when(
+            live > 0,
+            F.expr(
+                "CAST(100 * (n_added + n_changed) AS BIGINT) div "
+                "CAST(n_added + n_changed + n_same AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("churn_pct"),
+    )
