@@ -640,11 +640,12 @@ def q_hits_links(spark, sf_dir):
 
 
 def _hits_oracle(n_iters: int = 3) -> str:
-    """Unroll the integer HITS recurrence as chained CTEs — same edge
-    construction as q_hits_links, hubs init 1, auth = sum of in-neighbor
-    hubs then hub = sum of out-neighbor auths per round, end-only double
-    normalization."""
-    head = """
+    """Unroll the normalized integer HITS recurrence as chained CTEs —
+    same edge construction as q_hits_links, hubs init SCALE // n, each
+    half-round re-normalized exactly to SCALE with HUGEINT floor division
+    (the engine's DECIMAL pmod device computes the identical floor)."""
+    scale = 1_000_000_000_000
+    head = f"""
         WITH cnt AS (SELECT count(*) AS n FROM documents),
         edges AS (
             SELECT doc_id AS src, (doc_id * 5 + 3) % cnt.n AS dst
@@ -659,39 +660,49 @@ def _hits_oracle(n_iters: int = 3) -> str:
             SELECT DISTINCT src AS node FROM edges
             UNION SELECT DISTINCT dst FROM edges
         ),
-        h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM nodes)"""
+        h0 AS (
+            SELECT node, CAST({scale} AS HUGEINT) // cnt.n AS hub
+            FROM nodes CROSS JOIN cnt
+        )"""
     body = ""
     prev_h = "h0"
     for i in range(1, n_iters + 1):
         body += f""",
-        a{i} AS (
-            SELECT n.node, coalesce(s.s, 0) AS auth
+        ra{i} AS (
+            SELECT n.node, coalesce(s.s, CAST(0 AS HUGEINT)) AS auth
             FROM nodes n LEFT JOIN (
-                SELECT e.dst AS node, sum(h.hub) AS s
+                SELECT e.dst AS node, sum(CAST(h.hub AS HUGEINT)) AS s
                 FROM edges e JOIN {prev_h} h ON e.src = h.node
                 GROUP BY e.dst
             ) s USING (node)
         ),
-        h{i} AS (
-            SELECT n.node, coalesce(s.s, 0) AS hub
+        a{i} AS (
+            SELECT node,
+                   auth * {scale} // (SELECT sum(auth) FROM ra{i}) AS auth
+            FROM ra{i}
+        ),
+        rh{i} AS (
+            SELECT n.node, coalesce(s.s, CAST(0 AS HUGEINT)) AS hub
             FROM nodes n LEFT JOIN (
-                SELECT e.src AS node, sum(a.auth) AS s
+                SELECT e.src AS node, sum(CAST(a.auth AS HUGEINT)) AS s
                 FROM edges e JOIN a{i} a ON e.dst = a.node
                 GROUP BY e.src
             ) s USING (node)
+        ),
+        h{i} AS (
+            SELECT node,
+                   hub * {scale} // (SELECT sum(hub) FROM rh{i}) AS hub
+            FROM rh{i}
         )"""
         prev_h = f"h{i}"
-    tail = f""",
-        tot AS (SELECT sum(auth) AS ta FROM a{n_iters}),
-        toth AS (SELECT sum(hub) AS th FROM h{n_iters})
+    tail = f"""
         SELECT a.node,
-               a.auth AS auth_raw,
-               h.hub AS hub_raw,
-               CAST(a.auth AS DOUBLE) / CAST(tot.ta AS DOUBLE) AS auth,
-               CAST(h.hub AS DOUBLE) / CAST(toth.th AS DOUBLE) AS hub
+               CAST(a.auth AS BIGINT) AS auth_micro,
+               CAST(h.hub AS BIGINT) AS hub_micro,
+               CAST(a.auth AS DOUBLE) / {float(scale)} AS auth,
+               CAST(h.hub AS DOUBLE) / {float(scale)} AS hub
         FROM a{n_iters} a
-        JOIN h{n_iters} h USING (node)
-        CROSS JOIN tot CROSS JOIN toth"""
+        JOIN h{n_iters} h USING (node)"""
     return head + body + tail
 
 

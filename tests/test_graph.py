@@ -69,24 +69,28 @@ class TestPageRank:
             graph.pagerank(some, damping_pct=100)
 
 
-def _py_hits(edges, n_iters):
+def _py_hits(edges, n_iters, scale=graph.SCALE):
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    h = {v: 1 for v in nodes}
-    a = {v: 0 for v in nodes}
+    h = {v: scale // len(nodes) for v in nodes}
+    a = {}
     for _ in range(n_iters):
         a = {v: 0 for v in nodes}
         for s, d in edges:
             a[d] += h[s]
+        ta = sum(a.values())
+        a = {v: x * scale // ta for v, x in a.items()}
         h = {v: 0 for v in nodes}
         for s, d in edges:
             h[s] += a[d]
+        th = sum(h.values())
+        h = {v: x * scale // th for v, x in h.items()}
     return a, h
 
 
 class TestHITS:
     def test_exact_integer_parity(self, spark, edges_df):
         got = {
-            r["node"]: (r["auth_raw"], r["hub_raw"])
+            r["node"]: (r["auth_micro"], r["hub_micro"])
             for r in graph.hits(edges_df, n_iters=3).collect()
         }
         a, h = _py_hits(EDGES, 3)
@@ -103,17 +107,29 @@ class TestHITS:
         rows = {r["node"]: r for r in graph.hits(edges_df, n_iters=3).collect()}
         # node 0 is everyone's target: top authority; node 5 only links
         # out (to the best authorities): hub strictly beats its authority
-        assert rows[0]["auth_raw"] == max(r["auth_raw"] for r in rows.values())
-        assert rows[5]["hub_raw"] > rows[5]["auth_raw"] == 0
-        # normalized columns sum to 1
-        assert sum(r["auth"] for r in rows.values()) == pytest.approx(1.0)
-        assert sum(r["hub"] for r in rows.values()) == pytest.approx(1.0)
+        assert rows[0]["auth_micro"] == max(r["auth_micro"] for r in rows.values())
+        assert rows[5]["hub_micro"] > rows[5]["auth_micro"] == 0
+        # normalized columns sum to ~1 (flooring loses < n micro-units)
+        assert sum(r["auth"] for r in rows.values()) == pytest.approx(1.0, abs=1e-9)
+        assert sum(r["hub"] for r in rows.values()) == pytest.approx(1.0, abs=1e-9)
 
-    def test_overflow_guard(self, spark):
-        # star graph: hub 0 -> 5000 leaves; 40 rounds would blow int64
-        e = spark.range(5000).selectExpr("CAST(0 AS LONG) src", "id + 1 dst")
-        with pytest.raises(ValueError, match="overflow"):
-            graph.hits(e, n_iters=40)
+    def test_hub_heavy_graph_does_not_overflow(self, spark):
+        # star graph: 5000 leaves all pointing at one authority, plus the
+        # hub fan-out — the shape that overflows int64 under an
+        # unnormalized HITS after a few rounds
+        e = spark.range(5000).selectExpr("id + 1 AS src", "CAST(0 AS LONG) dst")
+        e = e.unionByName(
+            spark.range(5000).selectExpr("CAST(0 AS LONG) src", "id + 1 AS dst")
+        )
+        got = {
+            r["node"]: (r["auth_micro"], r["hub_micro"])
+            for r in graph.hits(e, n_iters=6).collect()
+        }
+        edges = [(i + 1, 0) for i in range(5000)] + [(0, i + 1) for i in range(5000)]
+        a, h = _py_hits(edges, 6)
+        assert got == {v: (a[v], h[v]) for v in a}
+        # node 0 out-authorities every individual leaf by the star ratio
+        assert got[0][0] > 1000 * max(got[i + 1][0] for i in range(5000))
 
     def test_empty_guard(self, spark):
         empty = spark.createDataFrame([], "src long, dst long")

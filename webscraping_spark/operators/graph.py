@@ -111,31 +111,32 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """Synchronous HITS (Kleinberg 1999): ``(node, auth_raw, hub_raw,
+    """Synchronous HITS (Kleinberg 1999): ``(node, auth_micro, hub_micro,
     auth, hub)`` after ``n_iters`` full auth+hub rounds — the
     hubs-and-authorities complement to PageRank for frontier
     prioritization (a directory page is a great *hub* to crawl even when
     its own authority is low; PageRank cannot tell the two apart).
 
-    Determinism contract: hubs init to integer 1; each round is
-    ``auth = sum of in-neighbor hubs`` then ``hub = sum of out-neighbor
-    auths`` in pure int64 — integer sums are reduction-order-free, so the
-    raw scores are bit-identical across partitionings and engines, and
-    the driver oracle unrolls the same recurrence in SQL. Normalization
-    happens ONCE at the end (HITS rankings are scale-invariant, so
-    in-loop normalization is a numerical convenience, not semantics):
-    ``auth = auth_raw / sum(auth_raw)`` in IEEE double.
+    Determinism contract (the same fixed-point device as ``pagerank``):
+    scores live in integer micro-units summing to ``SCALE`` and every
+    round re-normalizes EXACTLY — ``x * SCALE // total`` computed as a
+    DECIMAL(38,0) multiply followed by a pmod-floor division, which is
+    exact where a naive decimal divide would round half-up and a raw
+    int64 multiply would overflow (x * SCALE reaches 1e30 on hub-heavy
+    graphs; the within-round sums are also carried in DECIMAL because a
+    10^7-out-degree hub pushes them past int64). Integer sums are
+    reduction-order-free, so results are bit-identical across
+    partitionings and engines at ANY degree distribution — the
+    normalization is per-round precisely so raw scores cannot grow with
+    (max degree)^iters and overflow, which an end-only normalization
+    does on real web graphs.
 
-    Because the loop never rescales, raw scores grow like
-    (max_in_degree x max_out_degree)^iters; the operator computes that
-    bound up front (two degree aggregates) and raises rather than
-    silently overflowing int64 — at web scale run fewer iterations or
-    PageRank (which renormalizes by construction). Each iteration is two
-    skinny join+groupBy rounds, the same O(iters)-shuffle shape as
-    pagerank, with per-iteration persists so Catalyst does not re-optimize
-    a deepening chain."""
-    import math
-
+    Shape: each round is two skinny join+groupBy sums plus two one-row
+    totals — the same O(iters)-shuffle pattern as pagerank, with
+    per-iteration persists so Catalyst does not re-optimize a deepening
+    chain. The quantization loses at most n micro-units of mass per
+    round to flooring (measure-zero against SCALE = 1e12 for n < 1e12;
+    guarded)."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -146,63 +147,62 @@ def hits(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty edge set")
-    degs = e.groupBy("src").agg(F.count("*").alias("d")).agg(
-        F.max("d").alias("mo")
-    ).first()
-    degs_in = e.groupBy("dst").agg(F.count("*").alias("d")).agg(
-        F.max("d").alias("mi")
-    ).first()
-    max_out, max_in = int(degs["mo"]), int(degs_in["mi"])
-    if n_iters * (math.log2(max(max_in, 1)) + math.log2(max(max_out, 1))) > 62:
-        raise ValueError(
-            f"raw HITS scores would overflow int64 after {n_iters} rounds "
-            f"(max in-degree {max_in}, out-degree {max_out}); lower n_iters "
-            "or use pagerank()"
-        )
+    if n >= SCALE:
+        raise ValueError("graph larger than SCALE micro-units")
 
-    hubs = nodes.withColumn("hub_raw", F.lit(1).cast("long")).persist()
+    def _renorm(raw: DataFrame, col: str) -> DataFrame:
+        """raw (node, col DECIMAL) -> (node, col LONG) with values
+        x * SCALE // total, the exact floor (pmod device)."""
+        total = raw.agg(F.sum(col).alias("t")).first()["t"]
+        # literal via string cast: the total can exceed int64 on hub-heavy
+        # graphs, which F.lit(int) cannot represent
+        t = F.expr(f"CAST('{int(total)}' AS DECIMAL(38,0))")
+        prod = F.col(col).cast("decimal(38,0)") * F.lit(SCALE).cast(
+            "decimal(38,0)"
+        )
+        exact = (prod - F.pmod(prod, t)) / t
+        return raw.select("node", exact.cast("long").alias(col))
+
+    hubs = nodes.withColumn("hub_micro", F.lit(SCALE // n).cast("long")).persist()
     auths = None
     for _ in range(n_iters):
-        new_auths = (
-            nodes.join(
-                e.join(hubs, e["src"] == hubs["node"])
-                .groupBy("dst")
-                .agg(F.sum("hub_raw").alias("s"))
-                .withColumnRenamed("dst", "node"),
-                "node",
-                "left",
-            )
-            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("auth_raw"))
-            .persist()
+        raw_a = nodes.join(
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("hub_micro").cast("decimal(38,0)")).alias("s"))
+            .withColumnRenamed("dst", "node"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)")).alias(
+                "auth_micro"
+            ),
         )
+        new_auths = _renorm(raw_a, "auth_micro").persist()
         if auths is not None:
             auths.unpersist()
         auths = new_auths
-        new_hubs = (
-            nodes.join(
-                e.join(auths, e["dst"] == auths["node"])
-                .groupBy("src")
-                .agg(F.sum("auth_raw").alias("s"))
-                .withColumnRenamed("src", "node"),
-                "node",
-                "left",
-            )
-            .select("node", F.coalesce(F.col("s"), F.lit(0)).alias("hub_raw"))
-            .persist()
+        raw_h = nodes.join(
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum(F.col("auth_micro").cast("decimal(38,0)")).alias("s"))
+            .withColumnRenamed("src", "node"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,0)")).alias(
+                "hub_micro"
+            ),
         )
+        new_hubs = _renorm(raw_h, "hub_micro").persist()
         hubs.unpersist()
         hubs = new_hubs
-    totals = auths.join(hubs, "node").agg(
-        F.sum("auth_raw").alias("ta"), F.sum("hub_raw").alias("th")
-    ).first()
-    ta, th = max(int(totals["ta"]), 1), max(int(totals["th"]), 1)
-    return (
-        auths.join(hubs, "node")
-        .select(
-            "node",
-            "auth_raw",
-            "hub_raw",
-            (F.col("auth_raw").cast("double") / F.lit(float(ta))).alias("auth"),
-            (F.col("hub_raw").cast("double") / F.lit(float(th))).alias("hub"),
-        )
+    return auths.join(hubs, "node").select(
+        "node",
+        "auth_micro",
+        "hub_micro",
+        (F.col("auth_micro").cast("double") / F.lit(float(SCALE))).alias("auth"),
+        (F.col("hub_micro").cast("double") / F.lit(float(SCALE))).alias("hub"),
     )
