@@ -596,6 +596,43 @@ def q_pq_topk(spark, sf_dir):
     return outside.unionByName(missing)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFPQ composition violation set (hard oracle: EMPTY). Eight exact
+    duplicates of vec 0 are planted, the IVF coarse quantizer and the PQ
+    codebooks are both fitted distributively, and the composed query
+    (route to nprobe cells -> ADC over codes in those cells -> exact
+    re-rank of the shortlist) returns k=9. Violations: any id outside the
+    exact top-50 ball, or the query / any duplicate missing (duplicates
+    land in the query's own top-probe cell AND share its code word, so
+    losing one means routing or the ADC ranking broke)."""
+    from webscraping_spark.operators.similarity import (
+        cosine_topk,
+        ivf_fit,
+        ivfpq_topk,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planted = spark.range(8).select(
+        (F.col("id") + 300000).alias("vec_id"),
+        F.array(*[F.lit(float(x)).cast("float") for x in qvec]).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = ivf_fit(corpus, n_centroids=8, n_iters=4)
+    books = pq_fit(corpus, m=4, n_codes=16, n_iters=4)
+    approx = ivfpq_topk(corpus, list(qvec), cents, books, k=9, nprobe=3, refine=30)
+    exact_ball = cosine_topk(corpus, list(qvec), k=50)
+    outside = approx.select("vec_id").join(
+        exact_ball.select("vec_id"), "vec_id", "left_anti"
+    )
+    must_have = spark.range(8).select(
+        (F.col("id") + 300000).alias("vec_id")
+    ).unionByName(spark.range(1).select(F.lit(0).cast("long").alias("vec_id")))
+    missing = must_have.join(approx.select("vec_id"), "vec_id", "left_anti")
+    return outside.unionByName(missing)
+
+
 def q_pagerank_links(spark, sf_dir):
     """Distributed PageRank (operators/graph.py) over a deterministic
     synthetic link graph built from doc ids (two modular edges per doc
@@ -2671,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
         "epoch_shuffle": q_epoch_shuffle,
@@ -3994,6 +4032,13 @@ def oracle_sql() -> dict[str, str]:
             -- codes table -> exact cosine re-rank) ids outside the exact
             -- top-50 ball, or the query / any planted exact duplicate
             -- missing from the nine cosine-1.0 slots — must be empty
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "ivfpq_topk": """
+            -- violation set: composed IVFPQ (IVF cell routing -> ADC over
+            -- probed cells' codes -> exact re-rank) ids outside the exact
+            -- top-50 ball, or the query / any planted duplicate missing
+            -- — must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
         "pagerank_links": _pagerank_oracle(),

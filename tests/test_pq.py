@@ -112,3 +112,35 @@ def test_query_dim_guard(spark):
     enc = pq_encode(df, books)
     with pytest.raises(ValueError, match="query dim"):
         pq_adc_topk(enc, [0.0] * (DIM + 4), books, k=3)
+
+
+def test_ivfpq_routes_and_recalls(spark):
+    from webscraping_spark.operators.similarity import ivf_fit, ivfpq_topk
+
+    df, vecs = _corpus(spark, n=200)
+    q = vecs[0].tolist()
+    dupes = spark.createDataFrame(
+        [(2000 + i, q) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    corpus = df.unionByName(dupes)
+    cents = ivf_fit(corpus, n_centroids=8, n_iters=4)
+    books = pq_fit(corpus, m=4, n_codes=16, n_iters=3)
+    got = {
+        r["vec_id"]
+        for r in ivfpq_topk(corpus, q, cents, books, k=6, nprobe=3, refine=30).collect()
+    }
+    # exact duplicates land in the query's own cell (its top probe) and
+    # share its code word: all six cosine-1.0 vectors must be returned
+    assert got == {0, 2000, 2001, 2002, 2003, 2004}
+
+
+def test_ivfpq_without_refine_returns_adc_distances(spark):
+    from webscraping_spark.operators.similarity import ivf_fit, ivfpq_topk
+
+    df, vecs = _corpus(spark, n=150)
+    cents = ivf_fit(df, n_centroids=4, n_iters=3)
+    books = pq_fit(df, m=4, n_codes=8, n_iters=3)
+    out = ivfpq_topk(df, vecs[1].tolist(), cents, books, k=5, nprobe=2).collect()
+    assert [c for c in out[0].asDict()] == ["vec_id", "adc_dist"]
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists)

@@ -479,3 +479,45 @@ def pq_topk(
     short = pq_adc_topk(enc, query_vec, codebooks, max(refine, k), id_col)
     cands = embeddings.join(short.select(id_col), id_col, "left_semi")
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-IVFPQ composed from the two quantizers above: the coarse
+    IVF quantizer routes the query to ``nprobe`` max-cosine cells
+    (driver-side over c centroid rows), the PQ/ADC scan ranks ONLY the
+    rows assigned to those cells, and ``refine`` > 0 exact-cosine
+    re-ranks the shortlist. This is the 10^10-vector operating point:
+    at rest the corpus is stored partitioned by ``centroid`` with only
+    (id, centroid, codes) columns — the probe prunes to nprobe
+    partitions AND the scan inside them reads m bytes per vector, so
+    a query touches (nprobe / c) of the corpus at (m / 4d) of its
+    width; floats are read only for the ``refine`` rows.
+
+    For residual-PQ parity with FAISS, fit ``codebooks`` on residuals
+    (vector minus its centroid) and encode likewise; this composition is
+    agnostic — it routes, prunes and ranks whatever the codebooks encode."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[: max(nprobe, 1)].tolist()
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    in_cells = embeddings.join(
+        assigned.filter(F.col("centroid").isin(probes)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    enc = pq_encode(in_cells, codebooks, id_col, vec_col)
+    if refine <= 0:
+        return pq_adc_topk(enc, query_vec, codebooks, k, id_col)
+    short = pq_adc_topk(enc, query_vec, codebooks, max(refine, k), id_col)
+    cands = in_cells.join(short.select(id_col), id_col, "left_semi")
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
