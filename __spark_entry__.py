@@ -633,6 +633,45 @@ def q_ivfpq_topk(spark, sf_dir):
     return outside.unionByName(missing)
 
 
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """Residual IVFPQ violation set (hard oracle: EMPTY) — the FAISS-
+    parity variant: codebooks fitted over ivf_residuals, per-cell query
+    LUTs (q - centroid_c), a union of nprobe codes-only ADC scans, exact
+    re-rank of the merged shortlist. Same planted-duplicate contract as
+    ivfpq_topk: results inside the exact top-50 ball, query and all eight
+    duplicates present."""
+    from webscraping_spark.operators.similarity import (
+        cosine_topk,
+        ivf_fit,
+        ivf_residuals,
+        ivfpq_residual_topk,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planted = spark.range(8).select(
+        (F.col("id") + 400000).alias("vec_id"),
+        F.array(*[F.lit(float(x)).cast("float") for x in qvec]).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = ivf_fit(corpus, n_centroids=8, n_iters=4)
+    res = ivf_residuals(corpus, cents).withColumnRenamed("residual", "embedding")
+    books = pq_fit(res, m=4, n_codes=16, n_iters=4)
+    approx = ivfpq_residual_topk(
+        corpus, list(qvec), cents, books, k=9, nprobe=3, refine=30
+    )
+    exact_ball = cosine_topk(corpus, list(qvec), k=50)
+    outside = approx.select("vec_id").join(
+        exact_ball.select("vec_id"), "vec_id", "left_anti"
+    )
+    must_have = spark.range(8).select(
+        (F.col("id") + 400000).alias("vec_id")
+    ).unionByName(spark.range(1).select(F.lit(0).cast("long").alias("vec_id")))
+    missing = must_have.join(approx.select("vec_id"), "vec_id", "left_anti")
+    return outside.unionByName(missing)
+
+
 def q_pagerank_links(spark, sf_dir):
     """Distributed PageRank (operators/graph.py) over a deterministic
     synthetic link graph built from doc ids (two modular edges per doc
@@ -2709,6 +2748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
         "epoch_shuffle": q_epoch_shuffle,
@@ -4039,6 +4079,13 @@ def oracle_sql() -> dict[str, str]:
             -- probed cells' codes -> exact re-rank) ids outside the exact
             -- top-50 ball, or the query / any planted duplicate missing
             -- — must be empty
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "ivfpq_residual_topk": """
+            -- violation set: residual IVFPQ (per-cell query LUTs over
+            -- residual codebooks, union of nprobe ADC scans, exact
+            -- re-rank) ids outside the exact top-50 ball, or the query /
+            -- any planted duplicate missing — must be empty
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
         "pagerank_links": _pagerank_oracle(),

@@ -144,3 +144,41 @@ def test_ivfpq_without_refine_returns_adc_distances(spark):
     assert [c for c in out[0].asDict()] == ["vec_id", "adc_dist"]
     dists = [r["adc_dist"] for r in out]
     assert dists == sorted(dists)
+
+
+def test_ivf_residuals_numpy_parity(spark):
+    from webscraping_spark.operators.similarity import ivf_fit, ivf_residuals
+
+    df, vecs = _corpus(spark, n=80)
+    cents = ivf_fit(df, n_centroids=4, n_iters=3)
+    got = {r["vec_id"]: r for r in ivf_residuals(df, cents).collect()}
+    for i in range(80):
+        v = vecs[i]
+        a = int(np.argmax((v / max(np.linalg.norm(v), 1e-12)) @ cents.T))
+        assert got[i]["centroid"] == a
+        np.testing.assert_allclose(got[i]["residual"], v - cents[a], rtol=1e-12)
+
+
+def test_residual_ivfpq_recalls_planted_duplicates(spark):
+    from webscraping_spark.operators.similarity import (
+        ivf_fit,
+        ivf_residuals,
+        ivfpq_residual_topk,
+    )
+
+    df, vecs = _corpus(spark, n=200)
+    q = vecs[0].tolist()
+    dupes = spark.createDataFrame(
+        [(3000 + i, q) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    corpus = df.unionByName(dupes)
+    cents = ivf_fit(corpus, n_centroids=8, n_iters=4)
+    res = ivf_residuals(corpus, cents).withColumnRenamed("residual", "embedding")
+    books = pq_fit(res, m=4, n_codes=16, n_iters=3)
+    got = {
+        r["vec_id"]
+        for r in ivfpq_residual_topk(
+            corpus, q, cents, books, k=6, nprobe=3, refine=30
+        ).collect()
+    }
+    assert got == {0, 3000, 3001, 3002, 3003, 3004}

@@ -521,3 +521,83 @@ def ivfpq_topk(
     short = pq_adc_topk(enc, query_vec, codebooks, max(refine, k), id_col)
     cands = in_cells.join(short.select(id_col), id_col, "left_semi")
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def ivf_residuals(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid, residual ARRAY<DOUBLE>): each vector's coarse cell
+    and its residual against that cell's centroid — the quantity FAISS's
+    IVFPQ actually product-quantizes (residuals are centered near zero,
+    so the same code budget spends its precision on the part of the
+    vector the coarse quantizer could not explain). One gemm + subtract
+    per Arrow batch; feed the ``residual`` column to ``pq_fit`` /
+    ``pq_encode`` (rename it to the vec col) for residual codebooks."""
+    planes = centroids.T
+    out_schema = f"{id_col} long, centroid int, residual array<double>"
+
+    def res(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax((mat / norms) @ planes, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid": assign.astype(np.int32),
+                    "residual": list(mat - centroids[assign]),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(res, out_schema)
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-parity residual IVFPQ: rows are encoded as PQ codes of their
+    residual (vector minus its cell centroid; fit ``codebooks`` with
+    ``pq_fit`` over ``ivf_residuals``), so the query's ADC lookup table
+    differs PER PROBED CELL — the query residual against cell c is
+    ``q - centroid_c``. The scan is a union of ``nprobe`` codes-only ADC
+    scans, each with its own constant-folded LUT and each prunable to its
+    cell's partition at rest; ``refine`` > 0 exact-cosine re-ranks the
+    merged shortlist. Driver-side work is nprobe LUTs over the (c x m x
+    n_codes) codebook tensor — never corpus-sized."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[: max(nprobe, 1)].tolist()
+    res = ivf_residuals(embeddings, centroids, id_col, vec_col)
+    shortlists = []
+    for c in probes:
+        cell = res.filter(F.col("centroid") == int(c)).withColumnRenamed(
+            "residual", "_rv"
+        )
+        enc = pq_encode(cell, codebooks, id_col, "_rv")
+        q_res = (q - centroids[c]).tolist()
+        shortlists.append(
+            pq_adc_topk(enc, q_res, codebooks, max(refine, k), id_col)
+        )
+    merged = shortlists[0]
+    for s in shortlists[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(
+        max(refine, k)
+    )
+    if refine <= 0:
+        return merged.limit(k)
+    cands = embeddings.join(merged.select(id_col), id_col, "left_semi")
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
