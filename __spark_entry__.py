@@ -1807,6 +1807,27 @@ def q_dom_templates(spark, sf_dir):
     return template_clusters(pages)
 
 
+def q_best_representatives(spark, sf_dir):
+    """Quality-aware cluster survivors (dedup.keep_best_representatives)
+    with a FULL re-derivation oracle: 400 docs get a deterministic
+    quality score ((doc_id * 37) % 11, NULL every 13th) and the first 140
+    are clustered into 20 components by id arithmetic; the survivor per
+    component is the max-score doc (min id on ties, min id when the whole
+    cluster is NULL-scored), singletons always survive. DuckDB re-derives
+    winners, fallbacks and the survivor set."""
+    from webscraping_spark.operators.dedup import keep_best_representatives
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").filter(d < 400).select(
+        "doc_id",
+        F.when(d % 13 != 0, ((d * 37) % 11).cast("double")).alias("q"),
+    )
+    comps = docs.filter(d < 140).select(
+        d.alias("id"), (d % 20).cast("long").alias("component")
+    )
+    return keep_best_representatives(docs, comps, "q")
+
+
 def q_domain_budget(spark, sf_dir):
     """Per-domain crawl budget (frontier.domain_budget_gate) with a FULL
     re-derivation oracle: 400 candidates over 25 planted domains, a
@@ -2786,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_budget": q_domain_budget,
+        "best_representatives": q_best_representatives,
         "crawl_churn": q_crawl_churn,
         "dom_templates": q_dom_templates,
         "page_directives": q_page_directives,
@@ -3528,6 +3550,41 @@ def oracle_sql() -> dict[str, str]:
                    FALSE AS kept
             FROM ids, (VALUES ('_half'), ('_bright')) AS v(sfx)
             WHERE doc_id < 6
+        """,
+        "best_representatives": """
+            -- full re-derivation of quality-aware cluster survival:
+            -- max score per component, min id on ties, min-id fallback
+            -- for all-NULL clusters, singletons survive
+            WITH docs AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 <> 0
+                            THEN CAST((doc_id * 37) % 11 AS DOUBLE) END AS q
+                FROM documents WHERE doc_id < 400
+            ), comp AS (
+                SELECT doc_id AS id, doc_id % 20 AS component
+                FROM documents WHERE doc_id < 140
+            ), scored AS (
+                SELECT c.component, d.doc_id, d.q
+                FROM comp c JOIN docs d ON c.id = d.doc_id
+            ), best AS (
+                SELECT component, max(q) AS b FROM scored GROUP BY component
+            ), winners AS (
+                SELECT s.component, min(s.doc_id) AS doc_id
+                FROM scored s JOIN best USING (component)
+                WHERE s.q = best.b
+                GROUP BY s.component
+            ), fallback AS (
+                SELECT component, min(id) AS doc_id
+                FROM comp
+                WHERE component NOT IN (SELECT component FROM winners)
+                GROUP BY component
+            ), keep_ids AS (
+                SELECT doc_id FROM winners UNION ALL SELECT doc_id FROM fallback
+            )
+            SELECT d.doc_id, d.q
+            FROM docs d
+            LEFT JOIN comp c ON c.id = d.doc_id
+            WHERE c.id IS NULL OR d.doc_id IN (SELECT doc_id FROM keep_ids)
         """,
         "crawl_churn": """
             -- full re-derivation of the snapshot diff + per-domain churn:

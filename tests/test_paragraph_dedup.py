@@ -73,3 +73,53 @@ def test_partitioning_invariance(spark):
     # footer normalizes digits->0 ... 'footer 0/1/2' -> same key: one survivor
     assert sum(1 for t, _, _ in base.values() if "footer" in t) == 1
     assert sum(1 for t, _, _ in base.values() if "common header" in t) == 1
+
+
+class TestKeepBestRepresentatives:
+    """Quality-aware cluster survivors (dedup.keep_best_representatives)."""
+
+    def _run(self, spark, docs_rows, comp_rows):
+        from webscraping_spark.operators.dedup import keep_best_representatives
+
+        docs = spark.createDataFrame(docs_rows, "doc_id long, q double")
+        comps = spark.createDataFrame(comp_rows, "id long, component long")
+        return sorted(
+            r["doc_id"]
+            for r in keep_best_representatives(docs, comps, "q").collect()
+        )
+
+    def test_max_score_wins_not_min_id(self, spark):
+        docs = [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)]
+        comps = [(1, 1), (2, 1), (3, 1)]
+        assert self._run(spark, docs, comps) == [2, 9]  # 9 is a singleton
+
+    def test_tie_breaks_to_min_id(self, spark):
+        docs = [(5, 0.7), (6, 0.7), (7, 0.1)]
+        comps = [(5, 5), (6, 5), (7, 5)]
+        assert self._run(spark, docs, comps) == [5]
+
+    def test_all_null_cluster_falls_back_to_min_id(self, spark):
+        docs = [(1, None), (2, None), (3, 0.4)]
+        comps = [(1, 1), (2, 1)]
+        assert self._run(spark, docs, comps) == [1, 3]
+
+    def test_null_loses_to_any_score(self, spark):
+        docs = [(1, None), (2, 0.01)]
+        comps = [(1, 1), (2, 1)]
+        assert self._run(spark, docs, comps) == [2]
+
+    def test_partitioning_invariance(self, spark):
+        from webscraping_spark.operators.dedup import keep_best_representatives
+
+        docs_rows = [(i, float((i * 37) % 11)) for i in range(100)]
+        comp_rows = [(i, i % 7) for i in range(70)]
+        docs = spark.createDataFrame(docs_rows, "doc_id long, q double")
+        comps = spark.createDataFrame(comp_rows, "id long, component long")
+        a = sorted(r["doc_id"] for r in keep_best_representatives(docs, comps, "q").collect())
+        b = sorted(
+            r["doc_id"]
+            for r in keep_best_representatives(
+                docs.repartition(13, "q"), comps.repartition(5), "q"
+            ).collect()
+        )
+        assert a == b and len(a) == 7 + 30

@@ -27,6 +27,8 @@ Operators:
   connected_components cluster the near-dup PAIR sets into components
                       (alternating large-star/small-star, O(log n) rounds)
   keep_representatives docs minus non-canonical cluster members
+  keep_best_representatives  quality-aware survivor: max score per
+                      component, min-id tie-break, NULL-safe fallback
 """
 
 from __future__ import annotations
@@ -824,6 +826,60 @@ def keep_representatives(
             F.col("_component").isNull() | (F.col("_component") == F.col(id_col))
         )
         .drop("_component")
+    )
+
+
+def keep_best_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware cluster survivor selection — the FineWeb/RefinedWeb
+    refinement of ``keep_representatives``: within each near-dup
+    component keep the doc with the MAXIMUM ``score_col`` (quality score,
+    token count, recency...), not the minimum id, so dedup discards the
+    worse copy instead of an arbitrary one. Ties break to the smaller id
+    (a total order, so the survivor set is bit-stable under any
+    partitioning).
+
+    Shape: the winner per component is a map-side-combinable
+    ``max_by``-style groupBy over ONLY the clustered rows (components is
+    tiny relative to docs), then one broadcast-able semi-join decides
+    survival — the docs table is never re-shuffled. Singletons (ids
+    absent from components) always survive."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_component")
+    )
+    scored = docs.select(id_col, score_col).join(comp, id_col, "left_semi")
+    scored = scored.join(comp, id_col)
+    # max score, then min id: encode as max of (score, -id)... ids may be
+    # arbitrary longs, so use a struct ordered (score asc, id desc) and
+    # take MAX — struct comparison is lexicographic, giving (max score,
+    # min id among ties) via the negated-id trick only for numeric ids;
+    # keep it type-agnostic instead: max(score) per component, then min
+    # id among the rows achieving it.
+    best = scored.groupBy("_component").agg(F.max(score_col).alias("_best"))
+    winners = (
+        scored.join(best, "_component")
+        .filter(F.col(score_col) == F.col("_best"))
+        .groupBy("_component")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    # NULL scores rank below every real score (max ignores them); a
+    # cluster whose every member is NULL-scored has no winner above and
+    # falls back to the min id so the cluster never vanishes outright
+    fallback = (
+        comp.join(winners.select("_component"), "_component", "left_anti")
+        .groupBy("_component")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    keep_ids = winners.select(id_col).unionByName(fallback.select(id_col))
+    return (
+        docs.join(comp, id_col, "left")
+        .join(keep_ids.withColumn("_win", F.lit(True)), id_col, "left")
+        .filter(F.col("_component").isNull() | F.col("_win").isNotNull())
+        .drop("_component", "_win")
     )
 
 
