@@ -782,6 +782,25 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton clustering keys (ordering.zorder_key) with a FULL bitwise
+    re-derivation oracle: two 31-bit dimensions are planted from doc_id
+    arithmetic and DuckDB replays the six mask-shift spread rounds and
+    the interleave on BIGINT — bit-identical, never negative (62-bit
+    result)."""
+    from webscraping_spark.operators.ordering import zorder_key
+
+    d = F.col("doc_id")
+    dims = _t(spark, sf_dir, "documents").filter(d < 400).select(
+        "doc_id",
+        ((d * 2654435761) % 2147483648).cast("long").alias("a"),
+        ((d * 40503) % 2147483648).cast("long").alias("b"),
+    )
+    return dims.select(
+        "doc_id", "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+    )
+
+
 def q_epoch_shuffle(spark, sf_dir):
     """Deterministic per-epoch corpus shuffle (sampling.epoch_shuffle)
     with a FULL re-derivation oracle: the md5(id:salt:e{epoch}) order key,
@@ -2773,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
         "epoch_shuffle": q_epoch_shuffle,
+        "zorder_key": q_zorder_key,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4147,6 +4167,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "zorder_key": """
+            -- full bitwise re-derivation of the Morton key: six
+            -- mask-shift spread rounds per dimension, then interleave
+            WITH base AS (
+                SELECT doc_id,
+                       (doc_id * 2654435761) % 2147483648 AS a,
+                       (doc_id * 40503) % 2147483648 AS b
+                FROM documents WHERE doc_id < 400
+            ), s0 AS (
+                SELECT doc_id, a & 2147483647 AS xa, b & 2147483647 AS xb
+                FROM base
+            ), s1 AS (
+                SELECT doc_id,
+                       (xa | (xa << 16)) & 281470681808895 AS xa,
+                       (xb | (xb << 16)) & 281470681808895 AS xb
+                FROM s0
+            ), s2 AS (
+                SELECT doc_id,
+                       (xa | (xa << 8)) & 71777214294589695 AS xa,
+                       (xb | (xb << 8)) & 71777214294589695 AS xb
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id,
+                       (xa | (xa << 4)) & 1085102592571150095 AS xa,
+                       (xb | (xb << 4)) & 1085102592571150095 AS xb
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id,
+                       (xa | (xa << 2)) & 3689348814741910323 AS xa,
+                       (xb | (xb << 2)) & 3689348814741910323 AS xb
+                FROM s3
+            ), s5 AS (
+                SELECT doc_id,
+                       (xa | (xa << 1)) & 6148914691236517205 AS xa,
+                       (xb | (xb << 1)) & 6148914691236517205 AS xb
+                FROM s4
+            )
+            SELECT b.doc_id, b.a, b.b, s5.xa | (s5.xb << 1) AS z
+            FROM base b JOIN s5 USING (doc_id)
+        """,
         "epoch_shuffle": """
             -- full re-derivation of the per-epoch shuffle: md5 order key,
             -- 32-bit-bucket shard, per-shard dense row_number

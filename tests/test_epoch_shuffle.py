@@ -56,3 +56,44 @@ def test_positions_are_dense_per_shard(spark):
 def test_guard(spark):
     with pytest.raises(ValueError):
         epoch_shuffle(_docs(spark), "doc_id", n_shards=0)
+
+
+class TestZorderKey:
+    """Morton clustering keys (ordering.zorder_key)."""
+
+    def _z(self, spark, pairs):
+        from webscraping_spark.operators.ordering import zorder_key
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        return [
+            r["z"]
+            for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+            .collect()
+        ]
+
+    @staticmethod
+    def _py_morton(a, b):
+        z = 0
+        for i in range(31):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    def test_matches_bitwise_rederivation(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(2**31), rng.randrange(2**31)) for _ in range(64)]
+        pairs += [(0, 0), (2**31 - 1, 2**31 - 1), (1, 0), (0, 1)]
+        got = self._z(spark, pairs)
+        want = [self._py_morton(a, b) for a, b in pairs]
+        assert got == want
+        assert all(0 <= z < 2**62 for z in got)  # never negative
+
+    def test_locality_orders_quadrants(self, spark):
+        # all points of the low-low quadrant sort before any of high-high
+        lo = [(a, b) for a in (0, 1, 2) for b in (0, 1, 2)]
+        hi = [(a, b) for a in (2**20, 2**20 + 1) for b in (2**20, 2**20 + 1)]
+        zs_lo = self._z(spark, lo)
+        zs_hi = self._z(spark, hi)
+        assert max(zs_lo) < min(zs_hi)

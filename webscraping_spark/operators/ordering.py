@@ -66,3 +66,38 @@ def assign_global_seq(
             yield out
 
     return arranged.mapInPandas(stamp, out_schema), acc - start
+
+
+def _spread_bits(x):
+    """Interleave-ready bit spread: the 31 low bits of ``x`` move to the
+    even bit positions of a 62-bit value (classic Morton magic masks,
+    fully expressible in both Spark and ANSI-ish SQL bitwise ops — the
+    result stays under 2^62, so BIGINT never goes negative)."""
+    def band(c, m):
+        # Column.__and__/__or__ are BOOLEAN operators in PySpark; the
+        # bitwise forms are methods
+        return c.bitwiseAND(F.lit(m).cast("long"))
+
+    x = band(x, 0x7FFFFFFF)
+    x = band(x.bitwiseOR(F.shiftleft(x, 16)), 0x0000FFFF0000FFFF)
+    x = band(x.bitwiseOR(F.shiftleft(x, 8)), 0x00FF00FF00FF00FF)
+    x = band(x.bitwiseOR(F.shiftleft(x, 4)), 0x0F0F0F0F0F0F0F0F)
+    x = band(x.bitwiseOR(F.shiftleft(x, 2)), 0x3333333333333333)
+    x = band(x.bitwiseOR(F.shiftleft(x, 1)), 0x5555555555555555)
+    return x
+
+
+def zorder_key(col_a, col_b):
+    """62-bit Morton (Z-order) key interleaving the low 31 bits of two
+    non-negative integer columns — the multi-dimensional clustering key
+    behind Delta/Iceberg's OPTIMIZE ZORDER: sort or repartitionByRange on
+    it and rows close in BOTH dimensions land in the same files, so a
+    scan filtered on either dimension (or both) prunes most of them.
+    Crawl-shaped use: ``zorder_key(pmod(xxhash64(domain), 2^31),
+    fetched_at_bucket)`` clusters the visited table so per-domain probes
+    AND time-range compactions each touch few files.
+
+    Pure codegen bitwise expression (six mask-shift rounds per side);
+    callers clamp/bucket their dimensions into [0, 2^31) first — a hash
+    or a time bucket already is."""
+    return _spread_bits(col_a).bitwiseOR(F.shiftleft(_spread_bits(col_b), 1))
