@@ -782,6 +782,20 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_collocations(spark, sf_dir):
+    """PMI collocation mining (textstats.collocations) with a FULL
+    re-derivation oracle: consecutive lowercased token pairs, unigram
+    counts, and the integer-millionths PMI ratio (n_pair * N * 1e6 //
+    (n_w1 * n_w2) in HUGEINT — log-free so it is bit-exact where a float
+    PMI would drift between libm implementations)."""
+    from webscraping_spark.operators.textstats import collocations
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    return collocations(docs, min_count=5)
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton clustering keys (ordering.zorder_key) with a FULL bitwise
     re-derivation oracle: two 31-bit dimensions are planted from doc_id
@@ -2793,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_links": q_hits_links,
         "epoch_shuffle": q_epoch_shuffle,
         "zorder_key": q_zorder_key,
+        "collocations": q_collocations,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4167,6 +4182,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "collocations": """
+            -- full re-derivation of PMI collocation mining: consecutive
+            -- lowercased token pairs, unigram counts, integer-millionths
+            -- PMI ratio in HUGEINT
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                FROM documents
+                WHERE doc_id < 300 AND text IS NOT NULL AND trim(text) <> ''
+            ), pairs AS (
+                SELECT u['w1'] AS w1, u['w2'] AS w2
+                FROM (
+                    SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+                                   FOR i IN range(1, len(t))]) AS u
+                    FROM toks
+                )
+            ), uni AS (
+                SELECT w, count(*) AS n_w
+                FROM (SELECT unnest(t) AS w FROM toks)
+                GROUP BY w
+            ), total AS (SELECT sum(n_w) AS n FROM uni),
+            pc AS (
+                SELECT w1, w2, count(*) AS n_pair
+                FROM pairs GROUP BY w1, w2
+                HAVING count(*) >= 5
+            )
+            SELECT pc.w1, pc.w2, pc.n_pair,
+                   u1.n_w AS n_w1, u2.n_w AS n_w2,
+                   CAST(CAST(pc.n_pair AS HUGEINT) * total.n * 1000000
+                        // (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT)
+                       AS pmi_ratio
+            FROM pc
+            JOIN uni u1 ON u1.w = pc.w1
+            JOIN uni u2 ON u2.w = pc.w2
+            CROSS JOIN total
+        """,
         "zorder_key": """
             -- full bitwise re-derivation of the Morton key: six
             -- mask-shift spread rounds per dimension, then interleave

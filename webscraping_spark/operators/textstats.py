@@ -407,3 +407,72 @@ def c4_clean(
         n_bad.cast("int").alias("n_badwords"),
         keep.alias("keep"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """PMI-style collocation mining over the corpus — the phrase-discovery
+    pass tokenizer/vocabulary work runs before merging multiword units:
+    ``(w1, w2, n_pair, n_w1, n_w2, pmi_ratio)`` for consecutive
+    (whitespace-token, lowercased) pairs seen >= ``min_count`` times.
+
+    ``pmi_ratio`` is the POINTWISE-MUTUAL-INFORMATION RATIO in integer
+    millionths — ``n_pair * N * 1e6 div (n_w1 * n_w2)`` with N the corpus
+    token count, computed in DECIMAL(38,0) so a 10^13-token corpus cannot
+    overflow the multiply — which ranks identically to PMI (log is
+    monotone) while staying bit-exact across engines; an actual float log
+    would differ in the last ulp between libm implementations and break
+    the hash oracle.
+
+    Shape: one posexplode-free pair construction per doc (zip of the
+    token array with itself shifted — pure codegen), then TWO map-side-
+    combinable groupBys (pairs, unigrams) and one broadcast-able join of
+    the (tiny, min_count-filtered) pair table against unigram counts.
+    The corpus text never rides an exchange — only counted keys do."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), "\\s+")
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), toks.alias("_t"))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1"), F.col("p.w2"))
+    uni = base.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("n_w")
+    )
+    n_total = uni.agg(F.sum("n_w")).first()[0] or 1
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_count))
+    )
+    j = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))),
+            "w2",
+        )
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        F.expr(
+            f"CAST((CAST(n_pair AS DECIMAL(38,0)) * {int(n_total)} * 1000000)"
+            " div (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"
+        ).alias("pmi_ratio"),
+    )
