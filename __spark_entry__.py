@@ -782,6 +782,18 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization + per-session stats (operators/sessions)
+    over the REAL events table with a FULL re-derivation oracle: integer
+    epoch-microsecond gap arithmetic (unix_micros == DuckDB epoch_us),
+    (ts, event_id) total order, exclusive > gap boundary, floor-seconds
+    duration."""
+    from webscraping_spark.operators.sessions import session_stats, sessionize
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return session_stats(sessionize(events, gap_s=600))
+
+
 def q_collocations(spark, sf_dir):
     """PMI collocation mining (textstats.collocations) with a FULL
     re-derivation oracle: consecutive lowercased token pairs, unigram
@@ -2808,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "zorder_key": q_zorder_key,
         "collocations": q_collocations,
+        "sessionize": q_sessionize,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4182,6 +4195,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "sessionize": """
+            -- full re-derivation of gap-based sessionization: integer
+            -- epoch-us gaps, (ts, id) order, exclusive boundary, running
+            -- sum of session starts, per-session floor-second stats
+            WITH ev AS (
+                SELECT event_id, user_id, epoch_us(ts) AS us
+                FROM events
+            ), flagged AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN lag(us) OVER w IS NULL
+                                 OR us - lag(us) OVER w > 600 * 1000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ), numbered AS (
+                SELECT user_id, event_id, us,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   CAST(user_id AS VARCHAR) || '-'
+                       || CAST(session_seq AS VARCHAR) AS session_id,
+                   count(*) AS n_events,
+                   min(us) AS start_us,
+                   max(us) AS end_us,
+                   (max(us) - min(us)) // 1000000 AS duration_s
+            FROM numbered
+            GROUP BY user_id, session_seq
+        """,
         "collocations": """
             -- full re-derivation of PMI collocation mining: consecutive
             -- lowercased token pairs, unigram counts, integer-millionths

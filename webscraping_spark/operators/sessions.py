@@ -1,0 +1,94 @@
+"""Gap-based sessionization — the canonical stateful grouping over an
+event stream, in its batch form: a new session starts when the gap to the
+key's previous event exceeds ``gap_s``.
+
+Crawl tie-in: run over the visit log keyed on domain it yields *crawl
+bursts* (how long the scheduler hammered one host before politeness or
+the frontier moved on — the politeness auditor's unit of analysis); run
+over user events it is the classic web-analytics session. The reference
+has no analytics layer at all; its closest notion is the per-domain
+throttle window (download.py:455-473), which this op measures from the
+other side.
+
+Determinism contract: all gap arithmetic is integer WALL-CLOCK
+microseconds — ``timestampdiff(MICROSECOND, ntz-epoch, ts)`` after an
+NTZ cast, which is timezone-FREE and bit-identical to DuckDB's
+``epoch_us`` on a naive timestamp (``unix_micros`` would route through
+the session timezone and make the output depend on it) — and the per-key
+event order is (ts, id), a total order, so session numbering is
+reproducible under any partitioning. Streaming twin: the
+same semantics are Structured Streaming's ``session_window`` /
+``applyInPandasWithState``; the batch form is what a backfill over an
+at-rest log runs, and what a SQL oracle can re-derive.
+
+Shape: ONE window shuffle keyed on the session key (lag + running sum in
+the same window frame — Catalyst evaluates both in a single Window node),
+then session_stats is one map-side-combinable groupBy on the (key,
+session_seq) pair that inherits the window's partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _wall_micros(ts_col: str):
+    """Timezone-free integer microseconds since the naive epoch."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
+        f"TIMESTAMP_NTZ), CAST({ts_col} AS TIMESTAMP_NTZ))"
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Input plus ``(session_seq, session_id)``: ``session_seq`` numbers a
+    key's sessions from 1 in time order; ``session_id`` is the printable
+    ``{key}-{seq}`` form. An event opens a new session when it is the
+    key's first or arrives more than ``gap_s`` seconds (exclusive) after
+    the previous event."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    us = _wall_micros(ts_col)
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | (us - prev > F.lit(int(gap_s) * 1_000_000)), 1
+    ).otherwise(0)
+    seq = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_seq", seq.cast("long")).withColumn(
+        "session_id",
+        F.concat(F.col(key_col).cast("string"), F.lit("-"), F.col("session_seq")),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session aggregates over a ``sessionize`` output: ``(key,
+    session_seq, session_id, n_events, start_us, end_us, duration_s)``.
+    Duration is integer micros differenced then floor-divided to whole
+    seconds — engine-reproducible."""
+    us = _wall_micros(ts_col)
+    return (
+        sessions.groupBy(key_col, "session_seq", "session_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+        .withColumn(
+            "duration_s",
+            F.expr("(end_us - start_us) div CAST(1000000 AS BIGINT)"),
+        )
+    )
