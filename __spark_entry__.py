@@ -794,6 +794,17 @@ def q_sessionize(spark, sf_dir):
     return session_stats(sessionize(events, gap_s=600))
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling-window event aggregates (sessions.windowed_counts) over
+    the REAL events table with a FULL re-derivation oracle: timezone-free
+    integer window floors and 1e-6 fixed-point value sums (reduction-
+    order-free, so the hash holds under any partitioning)."""
+    from webscraping_spark.operators.sessions import windowed_counts
+
+    events = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return windowed_counts(events, window_s=600)
+
+
 def q_collocations(spark, sf_dir):
     """PMI collocation mining (textstats.collocations) with a FULL
     re-derivation oracle: consecutive lowercased token pairs, unigram
@@ -2821,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "collocations": q_collocations,
         "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4195,6 +4207,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "windowed_counts": """
+            -- full re-derivation of tumbling-window aggregates: integer
+            -- window floors on naive epoch micros, 1e-6 fixed-point sums
+            SELECT (epoch_us(ts) // 600000000) * 600000000 AS window_start_us,
+                   event_type,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_value_micro
+            FROM events
+            GROUP BY 1, 2
+        """,
         "sessionize": """
             -- full re-derivation of gap-based sessionization: integer
             -- epoch-us gaps, (ts, id) order, exclusive boundary, running

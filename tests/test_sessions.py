@@ -65,3 +65,24 @@ def test_partitioning_invariance(spark):
     a = sorted(map(tuple, sessionize(df, gap_s=300).collect()))
     b = sorted(map(tuple, sessionize(df.repartition(9, "ts"), gap_s=300).collect()))
     assert a == b
+
+
+def test_windowed_counts_exact(spark):
+    from webscraping_spark.operators.sessions import windowed_counts
+
+    rows = [
+        (0, 1, _t("2024-01-01 00:00:01")),
+        (1, 1, _t("2024-01-01 00:09:59.999999")),
+        (2, 1, _t("2024-01-01 00:10:00")),  # exactly on the boundary: next window
+    ]
+    ev = _events(spark, rows).select(
+        "event_id", "ts", F.lit("click").alias("event_type"),
+        (F.col("event_id") * 1.25 + 0.000001).alias("value"),
+    )
+    got = {
+        r["window_start_us"]: (r["n_events"], r["sum_value_micro"])
+        for r in windowed_counts(ev, window_s=600).collect()
+    }
+    e = 1704067200_000000  # 2024-01-01 00:00:00 wall epoch micros
+    assert got[e] == (2, 1 + 1250001)  # 0.000001 and 1.250001 in micros
+    assert got[e + 600_000_000] == (1, 2500001)

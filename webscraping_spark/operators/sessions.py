@@ -92,3 +92,40 @@ def session_stats(
             F.expr("(end_us - start_us) div CAST(1000000 AS BIGINT)"),
         )
     )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_s: int = 600,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window event aggregates: ``(window_start_us, event_type,
+    n_events, sum_value_micro)`` — the batch twin of Structured
+    Streaming's ``F.window`` aggregation (the engine's stream side runs
+    the same shape with a watermark; this form backfills an at-rest log
+    and is SQL-oracle-able). Window assignment is integer floor division
+    of wall-clock micros (timezone-free, same contract as sessionize);
+    ``value_col`` sums in 1e-6 fixed point BEFORE aggregation so the
+    result is reduction-order-free (the lm.py device). ONE
+    map-side-combinable groupBy."""
+    start = F.expr(
+        f"(timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
+        f"TIMESTAMP_NTZ), CAST({ts_col} AS TIMESTAMP_NTZ)) div "
+        f"CAST({int(window_s) * 1_000_000} AS BIGINT)) * "
+        f"CAST({int(window_s) * 1_000_000} AS BIGINT)"
+    )
+    micro_val = F.expr(f"CAST(round({value_col} * 1000000) AS BIGINT)")
+    return (
+        events.select(
+            start.alias("window_start_us"),
+            F.col(type_col).alias("event_type"),
+            micro_val.alias("_v"),
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("_v").alias("sum_value_micro"),
+        )
+    )
