@@ -782,6 +782,56 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_page_metadata(spark, sf_dir):
+    """Page-head metadata extraction (harvest.page_metadata) with a
+    replant oracle: pages are built from documents with an entity-bearing
+    <title>, both meta attribute orders, double/single/unquoted values,
+    a duplicate og:title (first wins), and an empty-content description
+    followed by a real one (empty carries no value) — every planted value
+    is a pure function of doc_id, so DuckDB derives the expected
+    extraction arithmetically while Spark must recover it through real
+    HTML."""
+    from webscraping_spark.operators.harvest import page_metadata
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>T &amp; "),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("</title>"),
+        F.when(d % 4 == 0, F.lit('<meta name="description" content="">')).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.concat(F.lit('<meta name="description" content="desc '), ds, F.lit('">'))).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('<meta property="og:title" content="ogt'), ds,
+                     F.lit('"><meta property="og:title" content="loser">')),
+        )
+        .when(
+            (d % 5 == 1) | (d % 5 == 2),
+            F.concat(F.lit('<meta content="ogt'), ds, F.lit('" property="og:title">')),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.when(
+                d % 9 == 0,
+                F.concat(F.lit("<meta property='og:image' content='/i/"), ds, F.lit("'>")),
+            ).otherwise(
+                F.concat(F.lit('<meta property="og:image" content="/i/'), ds, F.lit('">'))
+            ),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit("<meta name=keywords content=k"), ds, F.lit(">"))).otherwise(F.lit("")),
+        F.lit('<meta property="og:type" content="article"></head><body></body></html>'),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://m"), ds, F.lit(".com/")).alias("url"),
+        html.alias("html"),
+    )
+    return page_metadata(pages).drop("html", "url")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization + per-session stats (operators/sessions)
     over the REAL events table with a FULL re-derivation oracle: integer
@@ -2833,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
+        "page_metadata": q_page_metadata,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4207,6 +4258,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "page_metadata": """
+            -- replant oracle: every planted head value is a pure function
+            -- of doc_id, derived here arithmetically; the Spark side must
+            -- recover the same values through real HTML parsing (both
+            -- attribute orders, three quote styles, first-wins, empty
+            -- content skipped, entity-decoded title)
+            SELECT doc_id,
+                   'T & ' || trim(substr(text, 1, 20)) AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'desc ' || CAST(doc_id AS VARCHAR) END
+                       AS description,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'k' || CAST(doc_id AS VARCHAR) END AS keywords,
+                   CASE WHEN doc_id % 5 IN (0, 1, 2)
+                        THEN 'ogt' || CAST(doc_id AS VARCHAR) END AS og_title,
+                   CAST(NULL AS VARCHAR) AS og_description,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN '/i/' || CAST(doc_id AS VARCHAR) END AS og_image,
+                   'article' AS og_type,
+                   CAST(NULL AS VARCHAR) AS twitter_card
+            FROM documents WHERE doc_id < 300
+        """,
         "windowed_counts": """
             -- full re-derivation of tumbling-window aggregates: integer
             -- window floors on naive epoch micros, 1e-6 fixed-point sums

@@ -1,0 +1,68 @@
+"""Page-head metadata extraction (harvest.page_metadata / og_image_pairs)."""
+
+from pyspark.sql import functions as F
+
+from webscraping_spark.operators.harvest import og_image_pairs, page_metadata
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_title_and_meta_both_attribute_orders_and_quotes(spark):
+    html = (
+        "<html><head><TITLE> Hello &amp; <b>world</b>  </TITLE>"
+        '<meta name="description" content="first desc">'
+        "<meta content='og desc' property='og:description'>"
+        "<meta property=og:type content=article>"
+        '<meta property="og:image" content="/img/x.png">'
+        "</head><body></body></html>"
+    )
+    r = page_metadata(_pages(spark, [("u", html)])).collect()[0]
+    assert r["title"] == "Hello & world"
+    assert r["description"] == "first desc"
+    assert r["og_description"] == "og desc"  # content-before-property order
+    assert r["og_type"] == "article"  # unquoted values
+    assert r["og_image"] == "/img/x.png"
+    assert r["og_title"] is None and r["keywords"] is None
+
+
+def test_first_meta_per_key_wins(spark):
+    html = (
+        '<meta property="og:title" content="winner">'
+        '<meta property="og:title" content="loser">'
+    )
+    r = page_metadata(_pages(spark, [("u", html)])).collect()[0]
+    assert r["og_title"] == "winner"
+
+
+def test_empty_content_is_null_and_skipped(spark):
+    html = (
+        '<meta name="description" content="">'
+        '<meta name="description" content="real">'
+    )
+    r = page_metadata(_pages(spark, [("u", html)])).collect()[0]
+    # empty content carries no value; the next tag with content wins
+    assert r["description"] == "real"
+
+
+def test_og_image_pairs_caption_fallback_chain(spark):
+    rows = [
+        ("a", '<title>tt</title><meta property="og:image" content="i1">'
+              '<meta property="og:title" content="cap1">'),
+        ("b", '<title>tt2</title><meta property="og:image" content="i2">'
+              '<meta property="og:description" content="cap2">'),
+        ("c", "<title>tt3</title><meta property='og:image' content='i3'>"),
+        ("d", "<title>no image</title>"),
+    ]
+    got = {
+        r["page_url"]: (r["image_url"], r["caption"])
+        for r in og_image_pairs(_pages(spark, rows)).collect()
+    }
+    assert got == {"a": ("i1", "cap1"), "b": ("i2", "cap2"), "c": ("i3", "tt3")}
+
+
+def test_data_prefixed_attr_does_not_match(spark):
+    html = '<meta data-name="description" content="nope">'
+    r = page_metadata(_pages(spark, [("u", html)])).collect()[0]
+    assert r["description"] is None
