@@ -782,6 +782,43 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed ingestion (operators/feeds.feed_entries) with a
+    replant oracle: even doc_ids get a 2-item RSS feed (entity-bearing
+    titles, a link-less dropped item planted between the two), odd ones a
+    2-entry Atom feed (a rel=self decoy before the rel-less alternate on
+    the first entry, published-falls-back-to-updated on the second) —
+    every value is a pure function of doc_id, derived arithmetically in
+    SQL while Spark recovers it through real XML."""
+    from webscraping_spark.operators.feeds import feed_entries
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    rss = F.concat(
+        F.lit("<rss version=\"2.0\"><channel><item><title>t &amp; "), ds,
+        F.lit("</title><link> http://r"), ds, F.lit(".com/a </link>"),
+        F.lit("<pubDate>Mon, 01 Jan 2024</pubDate></item>"),
+        F.lit("<item><title>dropped</title></item>"),
+        F.lit("<item><link>http://r"), ds, F.lit(".com/b</link></item>"),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+        F.lit('<entry><title>e'), ds,
+        F.lit('</title><link rel="self" href="http://x.com/self"/>'),
+        F.lit('<link href="http://a'), ds,
+        F.lit('.com/e1"/><published>P'), ds, F.lit("</published></entry>"),
+        F.lit("<entry><link rel='alternate' href='http://a"), ds,
+        F.lit(".com/e2'/><updated>U"), ds, F.lit("</updated></entry></feed>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://f"), ds, F.lit(".com/feed")).alias("url"),
+        F.when(d % 2 == 0, rss).otherwise(atom).alias("html"),
+    )
+    return feed_entries(pages)
+
+
 def q_page_metadata(spark, sf_dir):
     """Page-head metadata extraction (harvest.page_metadata) with a
     replant oracle: pages are built from documents with an entity-bearing
@@ -2884,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "page_metadata": q_page_metadata,
+        "feed_entries": q_feed_entries,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4258,6 +4296,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "feed_entries": """
+            -- replant oracle: even docs -> RSS rows at pos 0 and 2 (the
+            -- link-less pos-1 item drops), odd docs -> Atom rows at pos
+            -- 0 and 1 (rel=self decoy skipped, published falls back to
+            -- updated); all values are doc_id arithmetic
+            WITH ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+                         FROM documents WHERE doc_id < 300)
+            SELECT 'http://f' || s || '.com/feed' AS url, 0 AS pos,
+                   'rss' AS feed_type,
+                   'http://r' || s || '.com/a' AS link,
+                   't & ' || s AS title,
+                   'Mon, 01 Jan 2024' AS published
+            FROM ids WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'http://f' || s || '.com/feed', 2, 'rss',
+                   'http://r' || s || '.com/b',
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM ids WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'http://f' || s || '.com/feed', 0, 'atom',
+                   'http://a' || s || '.com/e1', 'e' || s, 'P' || s
+            FROM ids WHERE doc_id % 2 = 1
+            UNION ALL
+            SELECT 'http://f' || s || '.com/feed', 1, 'atom',
+                   'http://a' || s || '.com/e2',
+                   CAST(NULL AS VARCHAR), 'U' || s
+            FROM ids WHERE doc_id % 2 = 1
+        """,
         "page_metadata": """
             -- replant oracle: every planted head value is a pure function
             -- of doc_id, derived here arithmetically; the Spark side must
