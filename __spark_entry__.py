@@ -782,6 +782,49 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_head_links(spark, sf_dir):
+    """Head-link extraction (harvest.head_links / hreflang_edges /
+    pagination_links) with a replant oracle: every page plants two
+    hreflang alternates (one single-quoted, case-varied), an
+    hreflang-less feed alternate (not a language edge), a duplicated
+    rel=next (first wins), a rel=prev on even docs, and an href-less
+    canonical (dropped). The query unions the two consumers' outputs with
+    a kind tag; all values are doc_id arithmetic."""
+    from webscraping_spark.operators.harvest import hreflang_edges, pagination_links
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    html = F.concat(
+        F.lit('<head><link rel="alternate" hreflang="en" href="/en/'), ds,
+        F.lit('">'),
+        F.lit("<link rel='Alternate' hreflang='DE' href='/de/"), ds,
+        F.lit("'>"),
+        F.lit('<link rel="alternate" href="/feed.xml">'),
+        F.lit('<link rel="next" href="/p'), ds,
+        F.lit('"><link rel="next" href="/dup">'),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit('<link rel="prev" href="/q'), ds, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="canonical"></head>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://h"), ds, F.lit(".com/")).alias("url"),
+        html.alias("html"),
+    )
+    a = hreflang_edges(pages).select(
+        "page_url",
+        F.lit("lang").alias("kind"),
+        F.col("hreflang").alias("k"),
+        F.col("href").alias("href"),
+    )
+    b = pagination_links(pages).select(
+        "page_url", F.lit("page").alias("kind"), F.col("rel").alias("k"), "href"
+    )
+    return a.unionByName(b)
+
+
 def q_feed_entries(spark, sf_dir):
     """RSS/Atom feed ingestion (operators/feeds.feed_entries) with a
     replant oracle: even doc_ids get a 2-item RSS feed (entity-bearing
@@ -2922,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "page_metadata": q_page_metadata,
         "feed_entries": q_feed_entries,
+        "head_links": q_head_links,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4296,6 +4340,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "head_links": """
+            -- replant oracle: two hreflang edges per page (lowercased),
+            -- the hreflang-less alternate excluded, first rel=next wins,
+            -- rel=prev only on even docs, href-less canonical dropped
+            WITH ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+                         FROM documents WHERE doc_id < 300)
+            SELECT 'http://h' || s || '.com/' AS page_url, 'lang' AS kind,
+                   'en' AS k, '/en/' || s AS href FROM ids
+            UNION ALL
+            SELECT 'http://h' || s || '.com/', 'lang', 'de', '/de/' || s
+            FROM ids
+            UNION ALL
+            SELECT 'http://h' || s || '.com/', 'page', 'next', '/p' || s
+            FROM ids
+            UNION ALL
+            SELECT 'http://h' || s || '.com/', 'page', 'prev', '/q' || s
+            FROM ids WHERE doc_id % 2 = 0
+        """,
         "feed_entries": """
             -- replant oracle: even docs -> RSS rows at pos 0 and 2 (the
             -- link-less pos-1 item drops), odd docs -> Atom rows at pos

@@ -66,3 +66,48 @@ def test_data_prefixed_attr_does_not_match(spark):
     html = '<meta data-name="description" content="nope">'
     r = page_metadata(_pages(spark, [("u", html)])).collect()[0]
     assert r["description"] is None
+
+
+class TestHeadLinks:
+    """Head-link extraction: hreflang edges and pagination chains."""
+
+    HTML = (
+        '<html><head>'
+        '<link rel="alternate" hreflang="en" href="/en/p">'
+        "<link rel='alternate' hreflang='DE' href='/de/p'>"
+        '<link rel="Alternate" href="/feed.xml" type="application/rss+xml">'
+        '<link rel="next" href="/p2"><link rel="next" href="/p2-dup">'
+        '<link rel="prev" href="/p0">'
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical">'
+        "</head></html>"
+    )
+
+    def _pages(self, spark):
+        return spark.createDataFrame([("u", self.HTML)], "url string, html string")
+
+    def test_hreflang_edges(self, spark):
+        from webscraping_spark.operators.harvest import hreflang_edges
+
+        got = sorted(
+            (r["hreflang"], r["href"])
+            for r in hreflang_edges(self._pages(spark)).collect()
+        )
+        # the hreflang-less alternate (the feed link) is NOT a language
+        # edge; hreflang lowercased
+        assert got == [("de", "/de/p"), ("en", "/en/p")]
+
+    def test_pagination_first_wins(self, spark):
+        from webscraping_spark.operators.harvest import pagination_links
+
+        got = {
+            r["rel"]: r["href"]
+            for r in pagination_links(self._pages(spark)).collect()
+        }
+        assert got == {"next": "/p2", "prev": "/p0"}
+
+    def test_href_less_link_dropped(self, spark):
+        from webscraping_spark.operators.harvest import head_links
+
+        rels = [r["rel"] for r in head_links(self._pages(spark)).collect()]
+        assert "canonical" not in rels and "stylesheet" in rels

@@ -381,3 +381,66 @@ def og_image_pairs(
             F.col("og_title"), F.col("og_description"), F.col("title")
         ).alias("caption"),
     )
+
+
+def head_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """One row per ``<link ...>`` head element: ``(page_url, pos, rel,
+    href, hreflang)`` — rel lowercased, empty attrs NULL, href-less tags
+    dropped. The raw feed for the two consumers below; same zero-shuffle
+    regexp device as ``page_metadata``."""
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<link\b[^>]*>"), F.lit(0)
+    )
+    out = pages.select(
+        F.col(url_col).alias("page_url"), F.posexplode(tags).alias("pos", "t")
+    )
+    t = F.col("t")
+    return out.select(
+        "page_url",
+        "pos",
+        F.lower(F.nullif(_attr_col(t, "rel"), F.lit(""))).alias("rel"),
+        F.nullif(_attr_col(t, "href"), F.lit("")).alias("href"),
+        F.lower(F.nullif(_attr_col(t, "hreflang"), F.lit(""))).alias("hreflang"),
+    ).filter(F.col("href").isNotNull())
+
+
+def hreflang_edges(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Language-variant edges from ``rel="alternate" hreflang=...`` head
+    links: ``(page_url, hreflang, href)`` — the publisher's own
+    declaration that two URLs are THE SAME document in different
+    languages. Near-dup dedup must respect these clusters (translations
+    are not duplicates to drop blindly; a multilingual corpus keeps one
+    per language, a monolingual one keeps its language's member): feed
+    the (page_url, href) pairs to ``dedup.connected_components`` and the
+    components are the publisher-declared translation sets."""
+    links = head_links(pages, html_col, url_col)
+    return links.filter(
+        (F.col("rel") == "alternate") & F.col("hreflang").isNotNull()
+    ).select("page_url", "hreflang", "href")
+
+
+def pagination_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """``(page_url, rel, href)`` for ``rel="next"`` / ``rel="prev"`` head
+    links — the publisher-declared pagination chain. The frontier wants
+    these fetched at the PARENT's depth (a 400-page listing is one
+    logical document, not a 400-deep descent that trips the depth
+    cutoff), and the trap detector wants them excluded from template
+    counting (a declared chain is not an infinite URL space). First
+    next/prev each per page (document order) — browsers ignore later
+    duplicates."""
+    links = head_links(pages, html_col, url_col)
+    w_ok = links.filter(F.col("rel").isin("next", "prev"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("page_url", "rel").orderBy(F.col("pos").asc())
+    return (
+        w_ok.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("page_url", "rel", "href")
+    )
