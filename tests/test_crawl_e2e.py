@@ -562,3 +562,66 @@ class TestTrackingStripInPlan:
         )
         job.run([seed])
         assert len(job.visit_urls()) == 3  # reference-parity default
+
+
+class TestBaseHrefInPlan:
+    """CrawlConfig.honor_base_href: relative links resolve against the
+    page's <base href> only when the flag is set (HTML spec rule; the
+    reference ignores <base>, so parity default is off)."""
+
+    def _pages(self):
+        from webscraping_spark.sources import synth
+
+        seed = "http://bh.com/dir/seed"
+        via_base = "http://cdn.bh.com/assets/rel"  # <base> resolution
+        via_page = "http://bh.com/dir/rel"  # plain serve_base resolution
+        return (
+            [
+                synth.make_page(
+                    seed,
+                    ["rel"],
+                    extra_html='<base href="http://cdn.bh.com/assets/x">',
+                ),
+                synth.make_page(via_base, []),
+                synth.make_page(via_page, []),
+            ],
+            seed,
+            via_base,
+            via_page,
+        )
+
+    def test_base_href_resolves_with_flag(self, spark):
+        from webscraping_spark.sources import synth
+
+        pages, seed, via_base, _ = self._pages()
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, honor_base_href=True),
+        )
+        job.run([seed])
+        assert job.visit_urls() == [seed, via_base]
+
+    def test_reference_parity_without_flag(self, spark):
+        from webscraping_spark.sources import synth
+
+        pages, seed, _, via_page = self._pages()
+        job = CrawlJob(
+            spark, synth.pages_df(spark, pages), CrawlConfig(max_depth=None)
+        )
+        job.run([seed])
+        assert job.visit_urls() == [seed, via_page]
+
+    def test_pages_without_base_are_unaffected(self, spark):
+        from webscraping_spark.sources import synth
+
+        seed = "http://nb.com/dir/seed"
+        target = "http://nb.com/dir/rel"
+        pages = [synth.make_page(seed, ["rel"]), synth.make_page(target, [])]
+        job = CrawlJob(
+            spark,
+            synth.pages_df(spark, pages),
+            CrawlConfig(max_depth=None, honor_base_href=True),
+        )
+        job.run([seed])
+        assert job.visit_urls() == [seed, target]

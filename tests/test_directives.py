@@ -182,3 +182,27 @@ class TestCrawlGate:
         # page nofollow gates its outlinks, not itself) but n3 is not;
         # n4 unreachable once n2 is pruned
         assert job.visit_urls() == ["http://dir.com/seed", "http://dir.com/n1"]
+
+
+def test_base_href_col_forms(spark):
+    from webscraping_spark.operators.directives import base_href_col
+
+    rows = [
+        ("dq", '<head><base href="http://b.com/x"><base href="http://second">'),
+        ("sq", "<head><base href='/rel/'></head>"),
+        ("uq", "<head><base href=/bare target=_blank></head>"),
+        ("none", "<head><base target=_blank></head>"),
+        ("absent", "<head></head>"),
+    ]
+    df = spark.createDataFrame(rows, "k string, html string")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", base_href_col(F.col("html")).alias("b")).collect()
+    }
+    assert got == {
+        "dq": "http://b.com/x",  # first <base> wins per spec
+        "sq": "/rel/",
+        "uq": "/bare",
+        "none": None,
+        "absent": None,
+    }

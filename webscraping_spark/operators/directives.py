@@ -74,6 +74,21 @@ def canonical_href_col(html: Column) -> Column:
     return F.when(raw != "", raw)
 
 
+def base_href_col(html: Column) -> Column:
+    """href of the page's FIRST ``<base>`` tag (the HTML spec honors only
+    the first), NULL when absent or href-less — all three attribute quote
+    styles via harvest's shared extractor. Consumed by
+    ``CrawlConfig.honor_base_href``: the crawl resolves the (possibly
+    relative) value against serve_base with the same canonicalize kernel
+    links use, then relative links resolve against the result."""
+    from webscraping_spark.operators.harvest import _attr_col
+
+    tag = F.regexp_extract(html, r"(?is)<base\b[^>]*>", 0)
+    return F.nullif(
+        F.coalesce(_attr_col(tag, "href"), F.lit("")), F.lit("")
+    )
+
+
 def anchor_tags_col(html: Column) -> Column:
     """ARRAY<STRING> of whole ``<a ... href=...>`` tag spans in document
     order — the same anchor set (href required) and order as

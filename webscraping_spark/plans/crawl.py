@@ -103,6 +103,12 @@ class CrawlConfig:
     # the reference's normalize (download.py:987-1004) keeps the query
     # verbatim, and parity fixtures must stay bit-exact.
     strip_tracking: bool = False
+    # opt-in HTML <base href> honoring: when set, relative links on a
+    # page carrying a <base href> resolve against it (the HTML spec
+    # rule; a relative base resolves against serve_base first). Off by
+    # default: the reference's get_links (download.py:1033) ignores
+    # <base> entirely and the parity fixtures must stay bit-exact.
+    honor_base_href: bool = False
     # cache TTL on the politeness timeline, seconds (PersistentDict
     # `expires`, pdict.py:51,202-205): a page fetched at time t is served
     # from cache while now - t < expires, re-fetched after. None = never
@@ -1148,6 +1154,21 @@ class CrawlJob:
         pages = resolved.filter(F.col("serve_ok"))
         if cfg.max_depth is not None:
             pages = pages.filter(F.col("depth") != cfg.max_depth)
+        if cfg.honor_base_href:
+            # HTML spec: relative links resolve against the page's first
+            # <base href> (itself resolved against serve_base when
+            # relative) — off by default for reference parity
+            from webscraping_spark.operators import directives as dv
+
+            pages = pages.withColumn(
+                "_base_href", dv.base_href_col(F.col("serve_html"))
+            )
+            pages = udfs.canonicalize_split(
+                pages, "serve_base", "_base_href", "_abs_base", compact=True
+            ).withColumn(
+                "serve_base",
+                F.coalesce(F.col("_abs_base"), F.col("serve_base")),
+            )
         page_cols = [
             F.col("url").alias("page_url"),
             F.col("seq").alias("page_seq"),
