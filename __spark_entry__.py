@@ -782,6 +782,32 @@ def _hits_oracle(n_iters: int = 3) -> str:
     return head + body + tail
 
 
+def q_declared_language(spark, sf_dir):
+    """Declared-language extraction (harvest.declared_language_col) with
+    a replant oracle: html lang attr on d%3==0 (mixed case, lowercased),
+    content-language meta on d%3==1, both on d%9==2 (the lang attr wins
+    per WHATWG precedence), neither otherwise."""
+    from webscraping_spark.operators.harvest import declared_language_col
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    html = (
+        F.when(d % 3 == 0, F.lit('<html lang="en-US"><head></head></html>'))
+        .when(
+            d % 3 == 1,
+            F.lit('<html><meta http-equiv="Content-Language" content="FR"></html>'),
+        )
+        .when(
+            d % 9 == 2,
+            F.lit('<html lang=de><meta http-equiv="content-language" content="fr"></html>'),
+        )
+        .otherwise(F.lit("<html><head></head></html>"))
+    )
+    return docs.select(
+        "doc_id", declared_language_col(html).alias("declared_lang")
+    )
+
+
 def q_head_links(spark, sf_dir):
     """Head-link extraction (harvest.head_links / hreflang_edges /
     pagination_links) with a replant oracle: every page plants two
@@ -2966,6 +2992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "feed_entries": q_feed_entries,
         "head_links": q_head_links,
+        "declared_language": q_declared_language,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4340,6 +4367,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "declared_language": """
+            -- replant oracle: lang attr on d%3=0 (lowercased), meta
+            -- content-language on d%3=1, lang wins when both (d%9=2),
+            -- NULL otherwise
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'en-us'
+                        WHEN doc_id % 3 = 1 THEN 'fr'
+                        WHEN doc_id % 9 = 2 THEN 'de'
+                   END AS declared_lang
+            FROM documents WHERE doc_id < 300
+        """,
         "head_links": """
             -- replant oracle: two hreflang edges per page (lowercased),
             -- the hreflang-less alternate excluded, first rel=next wins,

@@ -111,3 +111,29 @@ class TestHeadLinks:
 
         rels = [r["rel"] for r in head_links(self._pages(spark)).collect()]
         assert "canonical" not in rels and "stylesheet" in rels
+
+
+def test_declared_language_precedence(spark):
+    from webscraping_spark.operators.harvest import declared_language_col
+
+    rows = [
+        ("attr", '<html lang="en-US"><head></head></html>'),
+        ("meta", '<html><meta http-equiv="Content-Language" content="FR"></html>'),
+        ("both", '<html lang=de><meta http-equiv="content-language" content="fr"></html>'),
+        ("none", "<html><head></head></html>"),
+        ("empty", '<html lang=""><meta http-equiv="content-language" content="pt"></html>'),
+    ]
+    df = spark.createDataFrame(rows, "k string, html string")
+    got = {
+        r["k"]: r["l"]
+        for r in df.select(
+            "k", declared_language_col(F.col("html")).alias("l")
+        ).collect()
+    }
+    assert got == {
+        "attr": "en-us",
+        "meta": "fr",
+        "both": "de",  # WHATWG precedence: the lang attribute wins
+        "none": None,
+        "empty": "pt",  # empty lang attr carries no declaration
+    }

@@ -444,3 +444,25 @@ def pagination_links(
         .filter(F.col("_rn") == 1)
         .select("page_url", "rel", "href")
     )
+
+
+def declared_language_col(html: Column) -> Column:
+    """The page's self-declared language, lowercased: the first <html>
+    tag's ``lang`` attribute, falling back to the first
+    ``http-equiv="content-language"`` meta (WHATWG precedence). NULL when
+    neither declares. Pairs with textstats.langid as corpus QA: CCNet
+    compares declared vs detected language and a mismatch is a strong
+    mislabeled-or-boilerplate signal."""
+    html_tag = F.regexp_extract(html, r"(?is)<html\b[^>]*>", 0)
+    lang_attr = F.nullif(_attr_col(html_tag, "lang"), F.lit(""))
+    metas = F.regexp_extract_all(html, F.lit(r"(?is)<meta\b[^>]*>"), F.lit(0))
+    cl = F.try_element_at(
+        F.filter(
+            metas,
+            lambda t: F.lower(F.coalesce(_attr_col(t, "http-equiv"), F.lit("")))
+            == "content-language",
+        ),
+        F.lit(1),
+    )
+    meta_lang = F.nullif(F.coalesce(_attr_col(cl, "content"), F.lit("")), F.lit(""))
+    return F.lower(F.coalesce(lang_attr, meta_lang))
