@@ -2019,6 +2019,33 @@ def q_dom_templates(spark, sf_dir):
     return template_clusters(pages)
 
 
+def q_domain_budget_prune(spark, sf_dir):
+    """The salted two-phase budget prune (frontier.domain_budget_prune)
+    under the same planted scenario as domain_budget: the oracle is the
+    gate's full re-derivation restricted to kept rows — the survivor set
+    and ranks must be IDENTICAL to the single-window gate's."""
+    from webscraping_spark.operators.frontier import domain_budget_prune
+
+    d = F.col("doc_id")
+    cands = _t(spark, sf_dir, "documents").filter(d < 400).select(
+        F.concat(
+            F.lit("http://d"), (d % 25).cast("string"), F.lit(".com/p"),
+            d.cast("string"),
+        ).alias("url"),
+        ((d * 13) % 400).cast("long").alias("seq"),
+    )
+    visited = spark.createDataFrame(
+        [(f"d{i}.com", i * 4) for i in range(10)],
+        "domain string, n_visited long",
+    )
+    overrides = spark.createDataFrame(
+        [("d3.com", 2), ("d7.com", 100)], "domain string, max_pages long"
+    )
+    return domain_budget_prune(
+        cands, visited, max_pages=12, domain_overrides=overrides, salt_buckets=8
+    )
+
+
 def q_best_representatives(spark, sf_dir):
     """Quality-aware cluster survivors (dedup.keep_best_representatives)
     with a FULL re-derivation oracle: 400 docs get a deterministic
@@ -3027,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_budget": q_domain_budget,
+        "domain_budget_prune": q_domain_budget_prune,
         "best_representatives": q_best_representatives,
         "crawl_churn": q_crawl_churn,
         "dom_templates": q_dom_templates,
@@ -3873,6 +3901,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, dom_sig, count(*) AS n_pages, min(url) AS sample_url
             FROM sigs GROUP BY domain, dom_sig
             HAVING count(*) >= 2
+        """,
+        "domain_budget_prune": """
+            -- the gate oracle restricted to kept rows: the two-phase
+            -- salted prune must produce the identical survivor set + ranks
+            SELECT domain, url, seq, n_visited, budget, budget_rank, keep
+            FROM (
+            -- full re-derivation of the per-domain crawl budget: planted
+            -- domain from doc_id arithmetic, visited counts coalesced to
+            -- 0, override-else-default budget, row_number fill order
+            -- (seq, url), keep = rank <= greatest(budget - visited, 0)
+            WITH cands AS (
+                SELECT 'http://d' || CAST(doc_id % 25 AS VARCHAR)
+                       || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+                       (doc_id * 13) % 400 AS seq,
+                       'd' || CAST(doc_id % 25 AS VARCHAR) || '.com' AS domain
+                FROM documents WHERE doc_id < 400
+            ), visited AS (
+                SELECT 'd' || CAST(i AS VARCHAR) || '.com' AS domain,
+                       i * 4 AS n_visited
+                FROM range(10) t(i)
+            ), ov AS (
+                SELECT 'd3.com' AS domain, 2 AS max_pages
+                UNION ALL SELECT 'd7.com', 100
+            ), joined AS (
+                SELECT c.domain, c.url, c.seq,
+                       coalesce(v.n_visited, 0) AS n_visited,
+                       coalesce(o.max_pages, 12) AS budget,
+                       row_number() OVER (PARTITION BY c.domain
+                           ORDER BY c.seq, c.url) AS budget_rank
+                FROM cands c
+                LEFT JOIN visited v USING (domain)
+                LEFT JOIN ov o USING (domain)
+            )
+            SELECT domain, url, seq, n_visited, budget, budget_rank,
+                   budget_rank <= greatest(budget - n_visited, 0) AS keep
+            FROM joined
+        
+            ) WHERE keep
         """,
         "domain_budget": """
             -- full re-derivation of the per-domain crawl budget: planted

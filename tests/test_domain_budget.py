@@ -66,3 +66,55 @@ def test_partitioning_invariance(spark):
     a = _kept(domain_budget_gate(df, max_pages=5))
     b = _kept(domain_budget_gate(df.repartition(11, "url"), max_pages=5))
     assert a == b and len(a) == 35
+
+
+class TestDomainBudgetPrune:
+    """Salted two-phase scale path: identical survivor set to the gate."""
+
+    def _equal_sets(self, spark, rows, visited=None, **kw):
+        from webscraping_spark.operators.frontier import (
+            domain_budget_gate,
+            domain_budget_prune,
+        )
+
+        df = _cands(spark, rows)
+        kept_gate = sorted(
+            (r["url"], r["budget_rank"])
+            for r in domain_budget_gate(df, visited, **kw)
+            .filter(F.col("keep"))
+            .collect()
+        )
+        kept_prune = sorted(
+            (r["url"], r["budget_rank"])
+            for r in domain_budget_prune(df, visited, **kw).collect()
+        )
+        assert kept_gate == kept_prune
+        return kept_gate
+
+    def test_matches_gate_on_skewed_input(self, spark):
+        # one hot domain with 300 candidates, several cold ones
+        rows = [(f"http://hot.com/p{i:04d}", (i * 17) % 997) for i in range(300)]
+        rows += [(f"http://d{i % 5}.org/p{i}", i) for i in range(50)]
+        kept = self._equal_sets(spark, rows, max_pages=7)
+        assert len(kept) == 7 + 5 * 7  # hot capped at 7; 5 cold domains x 7
+
+    def test_matches_gate_with_visited_and_overrides(self, spark):
+        rows = [(f"http://a.com/{i:03d}", i) for i in range(40)] + [
+            (f"http://b.com/{i:03d}", i) for i in range(40)
+        ]
+        visited = spark.createDataFrame(
+            [("a.com", 3)], "domain string, n_visited long"
+        )
+        ov = spark.createDataFrame([("b.com", 2)], "domain string, max_pages long")
+        self._equal_sets(
+            spark, rows, visited, max_pages=10, domain_overrides=ov
+        )
+
+    def test_salt_bucket_count_does_not_change_result(self, spark):
+        from webscraping_spark.operators.frontier import domain_budget_prune
+
+        rows = [(f"http://s.com/p{i:04d}", (i * 31) % 211) for i in range(200)]
+        df = _cands(spark, rows)
+        a = sorted(r["url"] for r in domain_budget_prune(df, max_pages=9, salt_buckets=4).collect())
+        b = sorted(r["url"] for r in domain_budget_prune(df, max_pages=9, salt_buckets=64).collect())
+        assert a == b and len(a) == 9

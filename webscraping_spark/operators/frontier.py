@@ -229,11 +229,13 @@ def domain_budget_gate(
     default.
 
     Scale shape: ONE window shuffle keyed on domain — the same key the
-    politeness planner already shuffles on, so at 10^10 URLs this gate
-    rides the existing exchange; the two joins are against small
-    per-domain tables (broadcast). Skewed hot domains are exactly the
-    rows the rank cutoff truncates, so the window's sort never holds more
-    than a batch's worth of any domain beyond its budget."""
+    politeness planner already shuffles on — and two broadcast joins
+    against small per-domain tables. Honest skew caveat: NUMBERING every
+    candidate (including the rejected tail) requires the full per-domain
+    sort, so a 10^8-URL hot domain lands in one sort partition; when the
+    input is the 10^10-row frontier itself rather than a batch, use
+    :func:`domain_budget_prune` — the salted two-phase variant that
+    returns only the kept rows with bounded per-task state."""
     from pyspark.sql import Window
 
     from webscraping_spark.functions.udfs import get_domain_col
@@ -268,4 +270,74 @@ def domain_budget_gate(
         "keep",
         F.col("budget_rank")
         <= F.greatest(F.col("budget") - F.col("n_visited"), F.lit(0).cast("long")),
+    )
+
+
+def domain_budget_prune(
+    candidates: DataFrame,
+    visited_counts: DataFrame | None = None,
+    max_pages: int = 1000,
+    domain_overrides: DataFrame | None = None,
+    url_col: str = "url",
+    order_cols: tuple[str, ...] = ("seq",),
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """The scale path of :func:`domain_budget_gate`: returns ONLY the
+    kept rows (same survivor set, no ``budget_rank`` numbering of the
+    rejected tail) via a salted two-phase top-k, so a 10^8-URL hot
+    domain never lands in a single sort partition.
+
+    Phase 1 ranks within ``(domain, pmod(xxhash64(url), S))`` — S-way
+    parallel, each bucket keeps at most the domain's remaining slots, so
+    at most ``S x remaining`` survivors per domain reach phase 2; phase 2
+    is the exact (order_cols, url) window over that bounded set. The
+    survivor SET equals the gate's kept set exactly (any row in the true
+    top-remaining is also in the top-remaining of its salt bucket —
+    dropping other-bucket rows can only improve its bucket rank), which
+    the tests pin against the gate.
+
+    Use the gate when you need every candidate labeled (audits, small
+    batches); use this when the frontier is the 10^10-row table itself."""
+    from pyspark.sql import Window
+
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    out = candidates
+    if "domain" not in out.columns:
+        out = out.withColumn("domain", get_domain_col(F.col(url_col)))
+    if visited_counts is not None:
+        vc = visited_counts.select(
+            "domain", F.col("n_visited").cast("long").alias("n_visited")
+        )
+        out = out.join(F.broadcast(vc), "domain", "left")
+    else:
+        out = out.withColumn("n_visited", F.lit(None).cast("long"))
+    out = out.withColumn("n_visited", F.coalesce(F.col("n_visited"), F.lit(0)))
+    if domain_overrides is not None:
+        ov = domain_overrides.select(
+            "domain", F.col("max_pages").cast("long").alias("_ov")
+        )
+        out = out.join(F.broadcast(ov), "domain", "left")
+    else:
+        out = out.withColumn("_ov", F.lit(None).cast("long"))
+    out = out.withColumn(
+        "budget", F.coalesce(F.col("_ov"), F.lit(int(max_pages)).cast("long"))
+    ).drop("_ov")
+    remaining = F.greatest(
+        F.col("budget") - F.col("n_visited"), F.lit(0).cast("long")
+    )
+    order = [*(F.col(c).asc() for c in order_cols), F.col(url_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(int(salt_buckets)))
+    w1 = Window.partitionBy("domain", "_salt").orderBy(*order)
+    survivors = (
+        out.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= remaining)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        survivors.withColumn("budget_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("budget_rank") <= remaining)
+        .withColumn("keep", F.lit(True))
     )
