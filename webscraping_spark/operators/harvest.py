@@ -218,14 +218,21 @@ def anchor_field(
 
     Pipeline: ``harvest_anchor_texts`` -> nofollow/NULL-text gate ->
     ``canonicalize_split(base=page_url)`` (targets land in the same key
-    space as crawled URLs) -> ONE target-keyed aggregation collecting
-    texts in deterministic (page_url, pos) order, capped at
-    ``max_texts`` per target (hub targets like a homepage collect
-    millions of anchors; the cap bounds state exactly like the per-page
-    link cap, reference download.py:1046). Map-side combinable; the
-    per-target slice happens after ``sort_array`` on the collected
-    (page_url, pos, text) structs, so any partitioning yields the same
-    field string."""
+    space as crawled URLs) -> a salted PRE-TRUNCATION -> ONE target-keyed
+    aggregation collecting texts in deterministic (page_url, pos) order,
+    sliced to ``max_texts`` per target.
+
+    Why the pre-truncation: a bare collect_list buffers EVERY inbound
+    anchor of a hub target (a homepage collects millions) before the
+    slice — the agg buffer, not the slice, is what blows up. Ranking
+    within ``(target, pmod(xxhash64(page_url, pos), S))`` first keeps at
+    most ``max_texts`` per salt bucket (any row in the true global top
+    is also in its bucket's top, so the final sorted slice is
+    bit-identical — the domain_budget_prune argument), and window sorts
+    spill where agg buffers OOM; the final collect_list then holds at
+    most ``S x max_texts`` structs per target."""
+    from pyspark.sql import Window
+
     from webscraping_spark.functions.udfs import canonicalize_split
 
     a = harvest_anchor_texts(df, html_col=html_col, url_col=url_col)
@@ -233,8 +240,20 @@ def anchor_field(
     if drop_nofollow:
         a = a.filter(~F.col("nofollow"))
     a = canonicalize_split(a, "page_url", "href", "target")
+    # n_anchors counts ALL inbound anchors (cheap map-side count) even
+    # though only max_texts texts survive into the field
+    counts = a.groupBy("target").agg(F.count("*").cast("long").alias("n_anchors"))
+    salt = F.pmod(F.xxhash64(F.col("page_url"), F.col("pos")), F.lit(32))
+    w1 = Window.partitionBy("target", "_salt").orderBy(
+        F.col("page_url").asc(), F.col("pos").asc()
+    )
+    a = (
+        a.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= int(max_texts))
+        .drop("_salt", "_rn")
+    )
     agg = a.groupBy("target").agg(
-        F.count("*").cast("long").alias("n_anchors"),
         F.slice(
             F.sort_array(
                 F.collect_list(F.struct("page_url", "pos", "anchor_text"))
@@ -243,7 +262,7 @@ def anchor_field(
             max_texts,
         ).alias("_texts"),
     )
-    return agg.select(
+    return agg.join(counts, "target").select(
         "target",
         "n_anchors",
         F.array_join(
