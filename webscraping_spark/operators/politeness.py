@@ -355,12 +355,32 @@ def adaptive_delays(
     straight into ``plan_schedule(domain_delays=...)`` (the robots
     Crawl-delay seam — the configured delay stays the floor there).
 
-    Scale shape: ONE map-side-combinable-shuffle groupBy on domain; the
-    fold state is bounded by ``window`` per domain (a hub with 10^7
-    visits folds only its most recent outcomes — which is also the
-    correct semantics: backoff should react to the server's current
-    state, not its history), so no unbounded collect_list rides the
-    exchange for hot domains beyond the sorted event slice."""
+    Scale shape: the fold SEMANTICS are bounded by ``window`` per domain
+    (a hub with 10^7 visits folds only its most recent outcomes — which
+    is also the correct semantics: backoff should react to the server's
+    current state, not its history), and since round 4f the fold's
+    BUFFER is too: a salted pre-truncation keeps each (domain, salt)
+    bucket's last ``window`` events first (any event in the true global
+    last-window is also in its bucket's last-window, so the sorted slice
+    is bit-identical — the domain_budget_prune argument), leaving the
+    collect_list at most ``32 x window`` structs per domain; n_visits /
+    n_errors come from a separate plain-sum aggregate over the full log
+    (map-side combinable, no buffer)."""
+    from pyspark.sql import Window
+
+    dcol = F.col(domain_col)
+    counts = visit_log.groupBy(dcol.alias("domain")).agg(
+        F.count("*").cast("long").alias("n_visits"),
+        F.sum((~F.col(ok_col)).cast("long")).cast("long").alias("n_errors"),
+    )
+    salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(32))
+    w1 = Window.partitionBy(dcol, "_salt").orderBy(F.col(seq_col).desc())
+    recent = (
+        visit_log.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= int(window))
+        .drop("_salt", "_rn")
+    )
     ev = F.sort_array(
         F.collect_list(F.struct(F.col(seq_col).alias("s"), F.col(ok_col).alias("k")))
     )
@@ -374,15 +394,11 @@ def adaptive_delays(
             e == 1, F.greatest(acc - F.lit(dec_ms), F.lit(base_ms).cast("long"))
         ).otherwise(F.least(acc * F.lit(mult), F.lit(cap_ms).cast("long"))),
     )
-    agg = visit_log.groupBy(F.col(domain_col).alias("domain")).agg(
-        n.alias("_n"),
-        F.size(F.filter(ev, lambda e: ~e["k"])).alias("_ne"),
-        delay_ms.alias("delay_ms"),
-    )
-    return agg.select(
+    agg = recent.groupBy(dcol.alias("domain")).agg(delay_ms.alias("delay_ms"))
+    return agg.join(counts, "domain").select(
         "domain",
-        F.col("_n").cast("long").alias("n_visits"),
-        F.col("_ne").cast("long").alias("n_errors"),
+        "n_visits",
+        "n_errors",
         F.col("delay_ms").cast("long").alias("delay_ms"),
         (F.col("delay_ms") / 1000.0).alias("crawl_delay"),
     )
