@@ -2125,6 +2125,36 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(pages)
 
 
+def q_image_dedup_sharpest(spark, sf_dir):
+    """Quality-aware image dedup (multimodal.dedup_images_keep_sharpest)
+    with a hard survivor-set oracle: 24 distinct smooth images, the first
+    8 each planted with a box-blurred copy (same perceptual cluster,
+    strictly lower sharpness) — the survivors must be EXACTLY the 24
+    sharp sources; the query returns (image_id) of survivors and the
+    oracle derives the expected set from the planting arithmetic."""
+    from webscraping_spark.operators.multimodal import dedup_images_keep_sharpest
+    from webscraping_spark.sources import images
+
+    doc_ids = [
+        r["doc_id"]
+        for r in _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+        .collect()
+    ]
+    rows = []
+    for d in doc_ids:
+        px = images.synth_smooth_pixels(f"ks{d}", w=48, h=40)
+        rows.append((f"ks{d}", bytearray(images.encode_image(px, "png")), "png"))
+        if d < 8:
+            soft = images.box_blur(px, 3)
+            rows.append(
+                (f"ks{d}_soft", bytearray(images.encode_image(soft, "png")), "png")
+            )
+    pages = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return dedup_images_keep_sharpest(pages).select("image_id")
+
+
 def q_image_quality(spark, sf_dir):
     """No-reference image quality scoring (multimodal.image_quality) with
     a hard violation-set oracle over planted degradations: 12 noise + 12
@@ -3052,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pair_harvest": q_image_pair_harvest,
         "image_caption_filter": q_image_caption_filter,
         "image_quality": q_image_quality,
+        "image_dedup_sharpest": q_image_dedup_sharpest,
         "paragraph_dedup": q_paragraph_dedup,
         "domain_budget": q_domain_budget,
         "domain_budget_prune": q_domain_budget_prune,
@@ -4023,6 +4054,13 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN np USING (doc_id)
             LEFT JOIN agg a USING (doc_id)
+        """,
+        "image_dedup_sharpest": """
+            -- hard survivor-set oracle: the keep-sharpest dedup over 24
+            -- smooth images + 8 planted blurred copies must keep exactly
+            -- the 24 sharp sources (derived from the planting arithmetic)
+            SELECT 'ks' || CAST(doc_id AS VARCHAR) AS image_id
+            FROM documents WHERE doc_id < 24
         """,
         "image_quality": """
             -- contract: decode -> no-reference quality scores must honor

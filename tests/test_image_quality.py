@@ -147,3 +147,29 @@ def test_gate_keep_flags(spark):
         ).collect()
     }
     assert got == {"keepme": True, "flat": False, "dark": False}
+
+
+def test_dedup_images_keep_sharpest(spark):
+    """Composition: phash clusters + quality -> the sharp source survives,
+    its blurred copies drop, distinct images are untouched."""
+    from webscraping_spark.operators.multimodal import dedup_images_keep_sharpest
+
+    rows = []
+    for i in range(6):
+        # smooth (low-frequency) imagery: a mild blur barely moves the
+        # perceptual hash (measured <= 1 avg-hash bit on these fixtures,
+        # inside the pigeonhole-exact radius) but strictly lowers
+        # Laplacian sharpness — white noise would flip ~10 hash bits and
+        # never band-match, which is correct phash behavior, not a bug
+        px = images.synth_smooth_pixels(f"base{i}", 48, 40)
+        rows.append((f"base{i}", bytearray(images.encode_image(px, "png")), "png"))
+        if i < 3:
+            soft = images.box_blur(px, 3)
+            rows.append(
+                (f"base{i}_soft", bytearray(images.encode_image(soft, "png")), "png")
+            )
+    pages = _pages(spark, rows)
+    got = sorted(
+        r["image_id"] for r in dedup_images_keep_sharpest(pages).collect()
+    )
+    assert got == [f"base{i}" for i in range(6)]

@@ -754,3 +754,35 @@ def image_caption_filter(
     return pairs.select(
         "*", *(c.alias(n) for n, c in sig.items()), keep.alias("keep")
     )
+
+
+def dedup_images_keep_sharpest(
+    pages: DataFrame, max_hamming: int = 3, method: str = "avg"
+) -> DataFrame:
+    """Image dedup that keeps the BEST copy, not an arbitrary one — the
+    LAION keep-best-rendition move: near-dup clusters come from the
+    perceptual-hash banded join (:func:`image_near_dupes` ->
+    ``dedup.connected_components``), and the survivor per cluster is the
+    member with the highest Laplacian-variance sharpness
+    (:func:`image_quality`; min id on ties, NULL-safe fallback —
+    ``dedup.keep_best_representatives``'s contract). A blurry re-encode
+    or downscale loses to its source instead of winning by id order.
+
+    Composition of three already-hard-oracled operators; the only new
+    code is the wiring, so the shuffle story is theirs: banded equi-join
+    candidates (no all-pairs), O(log n)-round components, winner groupBy
+    over clustered rows only. Returns the surviving pages rows (original
+    columns) plus their ``sharpness``."""
+    from webscraping_spark.operators.dedup import (
+        connected_components,
+        keep_best_representatives,
+    )
+
+    pairs = image_near_dupes(pages, max_hamming=max_hamming, method=method)
+    comps = connected_components(pairs.select("id_a", "id_b"))
+    scored = pages.join(
+        image_quality(pages).select("image_id", "sharpness"), "image_id"
+    )
+    return keep_best_representatives(
+        scored, comps, "sharpness", id_col="image_id"
+    )
