@@ -808,6 +808,45 @@ def q_declared_language(spark, sf_dir):
     )
 
 
+def q_discover_urls(spark, sf_dir):
+    """Sitemap discovery pipeline (sitemap.discover_new_urls) with a FULL
+    re-derivation oracle: per doc, a robots body declaring one fetched
+    and one never-fetched sitemap, a 3-entry urlset for the fetched one,
+    and a seen set holding every doc's second entry — the output must be
+    entries 0 and 2 of each fetched sitemap with domain/lastmod derived
+    from doc_id arithmetic."""
+    from webscraping_spark.operators.sitemap import discover_new_urls
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    robots = docs.select(
+        F.concat(F.lit("http://s"), ds, F.lit(".com/robots.txt")).alias("url"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /x\nSitemap: http://s"), ds,
+            F.lit(".com/sm.xml\nSitemap: http://s"), ds,
+            F.lit(".com/missing.xml\n"),
+        ).alias("html"),
+    )
+    store = docs.select(
+        F.concat(F.lit("http://s"), ds, F.lit(".com/sm.xml")).alias("url"),
+        F.concat(
+            F.lit("<urlset>"),
+            F.lit("<url><loc>http://s"), ds,
+            F.lit(".com/p0</loc><lastmod>2024-01-0"), (d % 9 + 1).cast("string"),
+            F.lit("</lastmod></url>"),
+            F.lit("<url><loc>http://s"), ds, F.lit(".com/p1</loc></url>"),
+            F.lit("<url><loc>http://s"), ds,
+            F.lit(".com/p2</loc><priority>0.8</priority></url>"),
+            F.lit("</urlset>"),
+        ).alias("html"),
+    )
+    seen = docs.select(
+        F.concat(F.lit("http://s"), ds, F.lit(".com/p1")).alias("url")
+    )
+    return discover_new_urls(robots, store, seen)
+
+
 def q_head_links(spark, sf_dir):
     """Head-link extraction (harvest.head_links / hreflang_edges /
     pagination_links) with a replant oracle: every page plants two
@@ -3050,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_entries": q_feed_entries,
         "head_links": q_head_links,
         "declared_language": q_declared_language,
+        "discover_urls": q_discover_urls,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4471,6 +4511,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "discover_urls": """
+            -- full re-derivation: per doc the fetched sitemap's entries
+            -- at pos 0 and 2 (entry 1 is in the seen set; the second
+            -- declared sitemap has no store row so contributes nothing)
+            WITH ids AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+                         FROM documents WHERE doc_id < 300)
+            SELECT 's' || s || '.com' AS domain,
+                   'http://s' || s || '.com/sm.xml' AS sitemap_url,
+                   'http://s' || s || '.com/p0' AS loc,
+                   '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod,
+                   CAST(NULL AS VARCHAR) AS changefreq,
+                   CAST(NULL AS VARCHAR) AS priority
+            FROM ids
+            UNION ALL
+            SELECT 's' || s || '.com',
+                   'http://s' || s || '.com/sm.xml',
+                   'http://s' || s || '.com/p2',
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '0.8'
+            FROM ids
+        """,
         "declared_language": """
             -- replant oracle: lang attr on d%3=0 (lowercased), meta
             -- content-language on d%3=1, lang wins when both (d%9=2),

@@ -112,3 +112,56 @@ class TestCdxIndex:
         assert ", false" in sort_line, sort_line
         for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert node not in plan
+
+
+class TestDiscoverNewUrls:
+    """robots Sitemap: -> sitemap expansion -> seen anti-join pipeline."""
+
+    def test_end_to_end(self, spark):
+        from webscraping_spark.operators.sitemap import discover_new_urls
+
+        robots = spark.createDataFrame(
+            [
+                (
+                    "http://s.com/robots.txt",
+                    "User-agent: *\nDisallow: /admin\n"
+                    "Sitemap: http://s.com/sm.xml\n"
+                    "sitemap:http://s.com/sm2.xml\n",
+                ),
+                ("http://empty.com/robots.txt", "User-agent: *\n"),
+            ],
+            "url string, html string",
+        )
+        store = spark.createDataFrame(
+            [
+                (
+                    "http://s.com/sm.xml",
+                    "<urlset><url><loc>http://s.com/a</loc>"
+                    "<lastmod>2024-01-01</lastmod></url>"
+                    "<url><loc>http://s.com/b</loc></url></urlset>",
+                ),
+                # sm2.xml was never fetched: no store row, no entries
+            ],
+            "url string, html string",
+        )
+        seen = spark.createDataFrame([("http://s.com/b",)], "url string")
+        got = {
+            r["loc"]: (r["domain"], r["sitemap_url"], r["lastmod"])
+            for r in discover_new_urls(robots, store, seen).collect()
+        }
+        assert got == {
+            "http://s.com/a": ("s.com", "http://s.com/sm.xml", "2024-01-01")
+        }
+
+    def test_no_seen_filter(self, spark):
+        from webscraping_spark.operators.sitemap import discover_new_urls
+
+        robots = spark.createDataFrame(
+            [("http://s.com/robots.txt", "Sitemap: http://s.com/sm.xml")],
+            "url string, html string",
+        )
+        store = spark.createDataFrame(
+            [("http://s.com/sm.xml", "<urlset><url><loc>http://s.com/a</loc></url></urlset>")],
+            "url string, html string",
+        )
+        assert discover_new_urls(robots, store).count() == 1

@@ -140,3 +140,65 @@ def expand_sitemaps(
         )
         .select(source_col, out_col, "pos", "is_index")
     )
+
+
+def robots_sitemap_urls_col(body: Column) -> Column:
+    """``array<string>`` of Sitemap: directive URLs in a raw robots.txt
+    body, file order — the columnar twin of robots.parse_sitemaps /
+    sitemap_table (those build a driver-side table from a dict; this one
+    stays in the scan for a robots-payload DataFrame at corpus scale).
+    Case-insensitive per REP; the value is the rest of the line."""
+    return F.regexp_extract_all(
+        body, F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), F.lit(1)
+    )
+
+
+def discover_new_urls(
+    robots_pages: DataFrame,
+    xml_store: DataFrame,
+    seen_urls: DataFrame | None = None,
+    robots_url_col: str = "url",
+    robots_body_col: str = "html",
+    store_url_col: str = "url",
+    store_xml_col: str = "html",
+) -> DataFrame:
+    """The sitemap discovery pipeline as ONE composition: robots.txt
+    bodies -> ``Sitemap:`` URLs -> join against the fetched-XML store ->
+    ``sitemap_entries`` expansion -> anti-join against the seen set ->
+    ``(domain, sitemap_url, loc, lastmod, changefreq, priority)``
+    frontier candidates. This is how a real crawl bootstraps a host:
+    robots gives the sitemap, the sitemap gives the URLs and the
+    publisher's own lastmod/changefreq revisit hints (feed them to
+    operators/recrawl.py), and only unseen locs reach the frontier.
+
+    Shapes: the Sitemap-URL extraction fuses into the robots scan; the
+    store join is url-keyed (bucketed stores co-locate); the expansion is
+    the zero-shuffle posexplode; the seen filter is the same left-anti
+    join as the frontier's unseen gate. Canonicalize the locs downstream
+    exactly like any extracted link batch."""
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    sms = robots_pages.select(
+        get_domain_col(F.col(robots_url_col)).alias("domain"),
+        F.explode(robots_sitemap_urls_col(F.col(robots_body_col))).alias(
+            "sitemap_url"
+        ),
+    )
+    fetched = sms.join(
+        xml_store.select(
+            F.col(store_url_col).alias("sitemap_url"),
+            F.col(store_xml_col).alias("_xml"),
+        ),
+        "sitemap_url",
+    )
+    entries = sitemap_entries(fetched, xml_col="_xml", source_col="sitemap_url")
+    out = fetched.select("domain", "sitemap_url").distinct().join(
+        entries, "sitemap_url"
+    )
+    if seen_urls is not None:
+        out = out.join(
+            seen_urls.select(F.col("url").alias("loc")), "loc", "left_anti"
+        )
+    return out.select(
+        "domain", "sitemap_url", "loc", "lastmod", "changefreq", "priority"
+    )
