@@ -187,3 +187,56 @@ class TestWetWat:
             (p,) = glob.glob(out + "/*.warc.wet")
             outs.append(open(p, "rb").read())
         assert outs[0] == outs[1] and len(outs[0]) > 0
+
+
+class TestRevisitRecords:
+    """WARC 1.1 identical-payload-digest revisit dedup
+    (sources/warc.write_warc_deduped)."""
+
+    def test_unchanged_pages_become_revisits(self, spark, tmp_path):
+        from webscraping_spark.sources import warc
+
+        prior_payloads = {"http://w.com/a": b"<html>same</html>",
+                          "http://w.com/b": b"<html>old b</html>"}
+        prior = spark.createDataFrame(
+            [
+                (u, warc.payload_sha1_b32(p), "<urn:uuid:orig-%d>" % i)
+                for i, (u, p) in enumerate(sorted(prior_payloads.items()))
+            ],
+            "url string, payload_digest string, record_id string",
+        )
+        fetched = spark.createDataFrame(
+            [
+                ("http://w.com/a", bytearray(b"<html>same</html>")),  # unchanged
+                ("http://w.com/b", bytearray(b"<html>NEW b</html>")),  # changed
+                ("http://w.com/c", bytearray(b"<html>new page</html>")),  # new
+            ],
+            "url string, payload binary",
+        ).repartition(1)
+        out = str(tmp_path / "warc")
+        m = warc.write_warc_deduped(fetched, prior, out, compress=False).collect()
+        assert len(m) == 1 and m[0]["n_records"] == 3 and m[0]["n_revisits"] == 1
+        data = open(m[0]["path"], "rb").read()
+        assert data.count(b"WARC-Type: revisit") == 1
+        assert data.count(b"WARC-Type: response") == 2
+        # the revisit names the original capture and carries no payload
+        i = data.index(b"WARC-Type: revisit")
+        block = data[i : data.index(b"\r\n\r\n", i)]
+        assert b"WARC-Refers-To: <urn:uuid:orig-0>" in block
+        assert b"identical-payload-digest" in block
+        assert b"Content-Length: 0" in block
+        assert b"WARC-Payload-Digest: sha1:" in block
+        # changed page b stays a full response (old digest != new payload)
+        assert b"<html>NEW b</html>" in data and b"same</html>" not in data.split(
+            b"WARC-Type: revisit"
+        )[1]
+
+    def test_digest_convention(self):
+        import base64
+        import hashlib
+
+        from webscraping_spark.sources import warc
+
+        p = b"payload bytes"
+        want = "sha1:" + base64.b32encode(hashlib.sha1(p).digest()).decode()
+        assert warc.payload_sha1_b32(p) == want

@@ -459,3 +459,117 @@ def read_wet(spark, path: str) -> DataFrame:
     return files.select("content").mapInPandas(
         parse, "url string, warc_date string, text string"
     )
+
+
+def payload_sha1_b32(payload: bytes) -> str:
+    """``sha1:<base32>`` payload digest — the WARC-Payload-Digest
+    convention Common Crawl uses (RFC 4648 base32 of the raw sha-1)."""
+    import base64
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+
+
+def format_revisit_record(
+    url: str, date: str, refers_to: str, payload_digest: str
+) -> bytes:
+    """One WARC revisit record under the identical-payload-digest profile
+    (WARC 1.1 §6.7.2) — the record Common Crawl emits instead of storing
+    an unchanged page twice: no payload block, WARC-Refers-To names the
+    original capture's record id, WARC-Payload-Digest repeats the shared
+    digest."""
+    headers = [
+        WARC_VERSION,
+        b"WARC-Type: revisit",
+        b"WARC-Record-ID: " + _record_id(url, date, 0),
+        f"WARC-Date: {date}".encode(),
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
+        b"identical-payload-digest",
+        b"WARC-Refers-To: " + refers_to.encode(),
+        b"WARC-Payload-Digest: " + payload_digest.encode(),
+        b"Content-Length: 0",
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + _CRLF + _CRLF
+
+
+def write_warc_deduped(
+    fetched: DataFrame,
+    prior: DataFrame,
+    out_dir: str,
+    date: str = "2024-01-02T00:00:00Z",
+    url_col: str = "url",
+    payload_col: str = "payload",
+    compress: bool = True,
+    prefix: str = "part",
+) -> DataFrame:
+    """``write_warc`` with archival dedup against a PRIOR crawl: a row
+    whose payload sha-1 matches ``prior``'s digest for the same URL is
+    written as a zero-payload revisit record referring to the original
+    capture; changed or new pages get full response records. ``prior`` is
+    ``(url, payload_digest, record_id)`` — derivable from the previous
+    crawl's manifest or its parsed archives. At Common Crawl scale most
+    of a monthly crawl is unchanged, so this is where the archive's size
+    budget is won. Returns the same (path, n_records, n_bytes) manifest,
+    plus n_revisits."""
+    os.makedirs(out_dir, exist_ok=True)
+    src = fetched.select(
+        F.col(url_col).alias("u"), F.col(payload_col).alias("p")
+    ).join(
+        prior.select(
+            F.col("url").alias("u"),
+            F.col("payload_digest").alias("_pd"),
+            F.col("record_id").alias("_rid"),
+        ),
+        "u",
+        "left",
+    )
+    ext = ".warc.gz" if compress else ".warc"
+
+    def writer(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
+        n = rev = 0
+        raw = 0
+        f = open(path, "wb")
+        gz = gzip.GzipFile(fileobj=f, mode="wb", mtime=0) if compress else f
+        try:
+            for pdf in batches:
+                for u, p, pd_, rid in zip(
+                    pdf["u"], pdf["p"], pdf["_pd"], pdf["_rid"]
+                ):
+                    payload = p.encode() if isinstance(p, str) else bytes(p or b"")
+                    digest = payload_sha1_b32(payload)
+                    if pd_ is not None and rid is not None and digest == pd_:
+                        rec = format_revisit_record(u, date, rid, digest)
+                        rev += 1
+                    else:
+                        rec = format_response_record(u, payload, date)
+                    gz.write(rec)
+                    n += 1
+                    raw += len(rec)
+        finally:
+            if compress:
+                gz.close()
+            f.close()
+        if n == 0:
+            os.remove(path)
+            yield pd.DataFrame(
+                {"path": [], "n_records": [], "n_bytes": [], "n_revisits": []}
+            ).astype(
+                {
+                    "path": "object",
+                    "n_records": "int64",
+                    "n_bytes": "int64",
+                    "n_revisits": "int64",
+                }
+            )
+            return
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [raw], "n_revisits": [rev]}
+        )
+
+    return src.mapInPandas(
+        writer, MANIFEST_SCHEMA + ", n_revisits long"
+    )
