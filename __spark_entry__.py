@@ -808,6 +808,37 @@ def q_declared_language(spark, sf_dir):
     )
 
 
+def q_host_aliases(spark, sf_dir):
+    """Host-alias folding + robots cache freshness (operators/urlfilter)
+    with a FULL re-derivation oracle: planted URLs cycle scheme, WWW
+    casing, default/non-default ports and a www-prefix-lookalike label;
+    freshness states derive from doc_id-arithmetic fetch ages against the
+    RFC 9309 24h window (NULL every 7th = 'missing')."""
+    from webscraping_spark.operators.urlfilter import (
+        fold_host_aliases_col,
+        robots_freshness_col,
+    )
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    url = (
+        F.when(d % 5 == 0, F.concat(F.lit("http://WWW.S"), ds, F.lit(".com:80/p?q=1")))
+        .when(d % 5 == 1, F.concat(F.lit("https://www.s"), ds, F.lit(".org:443/x")))
+        .when(d % 5 == 2, F.concat(F.lit("https://s"), ds, F.lit(".org:8443/x")))
+        .when(d % 5 == 3, F.concat(F.lit("http://wwws"), ds, F.lit(".com/")))
+        .otherwise(F.concat(F.lit("ftp://WWW.F"), ds, F.lit(".com/")))
+    )
+    fetched_at = F.when(d % 7 != 0, (d * 400).cast("long"))
+    return docs.select(
+        "doc_id",
+        fold_host_aliases_col(url).alias("folded"),
+        robots_freshness_col(fetched_at, F.lit(100_000).cast("long")).alias(
+            "robots_state"
+        ),
+    )
+
+
 def q_discover_urls(spark, sf_dir):
     """Sitemap discovery pipeline (sitemap.discover_new_urls) with a FULL
     re-derivation oracle: per doc, a robots body declaring one fetched
@@ -3090,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_links": q_head_links,
         "declared_language": q_declared_language,
         "discover_urls": q_discover_urls,
+        "host_aliases": q_host_aliases,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4511,6 +4543,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "host_aliases": """
+            -- full re-derivation of host-alias folding + RFC 9309 robots
+            -- freshness: lowercase host, drop www. label and default
+            -- port, 24h window with NULL = missing
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'http://s' || CAST(doc_id AS VARCHAR)
+                                 || '.com/p?q=1'
+                     WHEN 1 THEN 'https://s' || CAST(doc_id AS VARCHAR)
+                                 || '.org/x'
+                     WHEN 2 THEN 'https://s' || CAST(doc_id AS VARCHAR)
+                                 || '.org:8443/x'
+                     WHEN 3 THEN 'http://wwws' || CAST(doc_id AS VARCHAR)
+                                 || '.com/'
+                     ELSE 'ftp://f' || CAST(doc_id AS VARCHAR) || '.com/'
+                   END AS folded,
+                   CASE WHEN doc_id % 7 = 0 THEN 'missing'
+                        WHEN 100000 - doc_id * 400 < 86400 THEN 'fresh'
+                        ELSE 'stale' END AS robots_state
+            FROM documents WHERE doc_id < 300
+        """,
         "discover_urls": """
             -- full re-derivation: per doc the fetched sitemap's entries
             -- at pos 0 and 2 (entry 1 is in the seen set; the second

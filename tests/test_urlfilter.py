@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from webscraping_spark.operators import urlfilter
 
@@ -184,3 +185,59 @@ class TestTrackingParams:
         df = spark.createDataFrame([("http://a.com/?utm_x=1",)], "url string")
         plan = strip_tracking_params(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestHostAliasFolding:
+    def _fold(self, spark, urls):
+        from webscraping_spark.operators.urlfilter import fold_host_aliases_col
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r["f"]
+            for r in df.select(fold_host_aliases_col(F.col("url")).alias("f")).collect()
+        ]
+
+    def test_folds(self, spark):
+        got = self._fold(
+            spark,
+            [
+                "http://WWW.Site.com:80/P?q=1",
+                "https://www.a.org:443/x",
+                "https://a.org:8443/x",  # non-default port kept
+                "http://wwwx.com/",  # 'www' must be a full label
+                "ftp://WWW.f.com/",  # non-http(s): lowercase only
+                "relative/path",  # no host: untouched
+            ],
+        )
+        assert got == [
+            "http://site.com/P?q=1",
+            "https://a.org/x",
+            "https://a.org:8443/x",
+            "http://wwwx.com/",
+            "ftp://f.com/",
+            "relative/path",
+        ]
+
+    def test_idempotent(self, spark):
+        once = self._fold(spark, ["http://WWW.Site.com:80/P?Q"])
+        twice = self._fold(spark, once)
+        assert once == twice
+
+
+class TestRobotsFreshness:
+    def test_states(self, spark):
+        from webscraping_spark.operators.urlfilter import robots_freshness_col
+
+        rows = [(1, 100), (2, None), (3, 86_500)]
+        df = spark.createDataFrame(rows, "k int, fetched_at long")
+        got = {
+            r["k"]: r["s"]
+            for r in df.select(
+                "k",
+                robots_freshness_col(
+                    F.col("fetched_at"), F.lit(100_000).cast("long")
+                ).alias("s"),
+            ).collect()
+        }
+        # ages: 99900 (stale), missing, 13500 (fresh)
+        assert got == {1: "stale", 2: "missing", 3: "fresh"}

@@ -308,3 +308,43 @@ def strip_tracking_params(
 ) -> DataFrame:
     """Apply the tracker strip to a URL column (in place by default)."""
     return df.withColumn(out_col or url_col, strip_tracking_params_col(F.col(url_col)))
+
+
+def fold_host_aliases_col(url: Column) -> Column:
+    """Opt-in host-alias normalization BEYOND the reference-parity
+    canonicalize kernel (which, like download.py:987-1004, keeps hosts
+    verbatim): lowercase the host, drop a leading ``www.`` label and an
+    explicit default port (``:80`` for http, ``:443`` for https), leaving
+    scheme, path and query untouched. ``http://WWW.Site.com:80/P?q`` and
+    ``http://site.com/P?q`` are one dedup key / one budget pool on every
+    real crawler (Heritrix canonicalization rules); non-http(s) URLs and
+    URLs with non-default ports pass through with only the host
+    lowercased. Pure codegen — one regexp per piece."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    h = F.lower(host)
+    h = F.regexp_replace(h, r"^www\.", "")
+    h = F.when(scheme == "http", F.regexp_replace(h, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(h, ":443$", "")
+    ).otherwise(h)
+    return F.when(
+        host != "", F.concat(scheme, F.lit("://"), h, rest)
+    ).otherwise(url)
+
+
+def robots_freshness_col(
+    fetched_at_s: Column, now_s: Column, max_age_s: int = 86_400
+) -> Column:
+    """RFC 9309 §2.4 robots.txt cache state: 'fresh' while the cached
+    copy is younger than ``max_age_s`` (the spec's 24h default), 'stale'
+    after — callers refetch stale copies but MAY keep using them when the
+    refetch 5xxes (the spec's explicit allowance; pair with
+    retry_routing's error classes). Integer-seconds arithmetic, NULL
+    fetched_at = never fetched = 'missing'."""
+    age = now_s - fetched_at_s
+    return (
+        F.when(fetched_at_s.isNull(), F.lit("missing"))
+        .when(age < F.lit(int(max_age_s)), F.lit("fresh"))
+        .otherwise(F.lit("stale"))
+    )
