@@ -808,6 +808,29 @@ def q_declared_language(spark, sf_dir):
     )
 
 
+def q_politeness_audit(spark, sf_dir):
+    """Executed-crawl politeness audit (politeness.politeness_audit) over
+    the REAL events table (domain from user_id, millisecond timestamps)
+    with a FULL re-derivation oracle: per-domain lag gaps, the
+    greatest(override, floor) required delay, min gap and violation
+    counts — the closing audit of the plan -> execute loop."""
+    from webscraping_spark.operators.politeness import politeness_audit
+
+    events = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("d"), (F.col("user_id") % 20).cast("string"), F.lit(".com")).alias(
+            "domain"
+        ),
+        F.expr(
+            "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
+            "TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ)) div 1000"
+        ).alias("ts_ms"),
+    )
+    dd = spark.createDataFrame(
+        [("d3.com", 120.0), ("d7.com", 1.0)], "domain string, crawl_delay double"
+    )
+    return politeness_audit(events, default_delay_ms=60_000, domain_delays=dd)
+
+
 def q_host_aliases(spark, sf_dir):
     """Host-alias folding + robots cache freshness (operators/urlfilter)
     with a FULL re-derivation oracle: planted URLs cycle scheme, WWW
@@ -3122,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declared_language": q_declared_language,
         "discover_urls": q_discover_urls,
         "host_aliases": q_host_aliases,
+        "politeness_audit": q_politeness_audit,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4543,6 +4567,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "politeness_audit": """
+            -- full re-derivation of the politeness audit: per-domain lag
+            -- gaps in integer ms, greatest(override*1000, floor) delay,
+            -- min gap + violation count
+            WITH log AS (
+                SELECT 'd' || CAST(user_id % 20 AS VARCHAR) || '.com' AS domain,
+                       epoch_us(ts) // 1000 AS ts_ms
+                FROM events
+            ), dd AS (
+                SELECT 'd3.com' AS domain, 120000 AS dly
+                UNION ALL SELECT 'd7.com', 1000
+            ), gaps AS (
+                SELECT l.domain,
+                       greatest(coalesce(dd.dly, 0), 60000) AS delay_ms,
+                       l.ts_ms - lag(l.ts_ms) OVER (
+                           PARTITION BY l.domain ORDER BY l.ts_ms
+                       ) AS gap
+                FROM log l LEFT JOIN dd USING (domain)
+            )
+            SELECT domain, delay_ms,
+                   count(*) AS n_visits,
+                   min(gap) AS min_gap_ms,
+                   sum(CASE WHEN gap < delay_ms THEN 1 ELSE 0 END)
+                       AS n_violations
+            FROM gaps GROUP BY domain, delay_ms
+        """,
         "host_aliases": """
             -- full re-derivation of host-alias folding + RFC 9309 robots
             -- freshness: lowercase host, drop www. label and default

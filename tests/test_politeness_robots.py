@@ -655,3 +655,56 @@ class TestAdaptiveDelays:
         # 60s spacing; fast stays at the config 5s
         assert abs((slow[1] - slow[0]) - 60.0) < 1e-6
         assert abs((fast[1] - fast[0]) - 5.0) < 1e-6
+
+
+class TestPolitenessAudit:
+    """politeness.politeness_audit: executed-crawl gap verification."""
+
+    def test_violations_and_min_gap(self, spark):
+        from webscraping_spark.operators.politeness import politeness_audit
+
+        log = spark.createDataFrame(
+            [
+                ("a.com", 0), ("a.com", 5000), ("a.com", 7000),  # 2000 < 5000
+                ("b.com", 100), ("b.com", 10100),
+                ("c.com", 42),  # single visit: no gap, no violation
+            ],
+            "domain string, ts_ms long",
+        )
+        got = {
+            r["domain"]: (r["n_visits"], r["delay_ms"], r["min_gap_ms"], r["n_violations"])
+            for r in politeness_audit(log, default_delay_ms=5000).collect()
+        }
+        assert got["a.com"] == (3, 5000, 2000, 1)
+        assert got["b.com"] == (2, 5000, 10000, 0)
+        assert got["c.com"] == (1, 5000, None, 0)
+
+    def test_domain_delays_raise_the_bar(self, spark):
+        from webscraping_spark.operators.politeness import politeness_audit
+
+        log = spark.createDataFrame(
+            [("a.com", 0), ("a.com", 6000)], "domain string, ts_ms long"
+        )
+        dd = spark.createDataFrame([("a.com", 10.0)], "domain string, crawl_delay double")
+        got = politeness_audit(log, 5000, domain_delays=dd).collect()[0]
+        # required = max(10s robots, 5s floor) = 10000ms; 6000 violates
+        assert (got["delay_ms"], got["n_violations"]) == (10000, 1)
+
+    def test_plan_schedule_output_audits_clean(self, spark):
+        from webscraping_spark.operators import politeness as P
+
+        batch = spark.createDataFrame(
+            [
+                (f"http://x{i % 3}.com/p{i}", f"x{i % 3}.com", 0, i, 0)
+                for i in range(30)
+            ],
+            "url string, domain string, depth int, seq long, priority int",
+        )
+        state = spark.createDataFrame([], P.DOMAIN_STATE_SCHEMA)
+        planned, _ = P.plan_schedule(batch, state, delay=2.0, variance=0.0)
+        log = planned.select(
+            "domain",
+            (F.col("scheduled_offset") * 1000).cast("long").alias("ts_ms"),
+        )
+        audit = P.politeness_audit(log, default_delay_ms=2000)
+        assert audit.agg(F.sum("n_violations")).collect()[0][0] == 0

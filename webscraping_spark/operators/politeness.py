@@ -402,3 +402,56 @@ def adaptive_delays(
         F.col("delay_ms").cast("long").alias("delay_ms"),
         (F.col("delay_ms") / 1000.0).alias("crawl_delay"),
     )
+
+
+def politeness_audit(
+    visit_log: DataFrame,
+    default_delay_ms: int,
+    domain_delays: DataFrame | None = None,
+    domain_col: str = "domain",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Audit an EXECUTED crawl against its politeness contract: per
+    domain, order visits by time and flag every consecutive gap shorter
+    than the domain's required delay — the closing piece of the plan ->
+    execute -> audit loop (plan_schedule promises spacing; this verifies
+    the visit log kept it, e.g. after a resume, a clock skew, or a
+    misconfigured override). Returns ``(domain, n_visits, delay_ms,
+    min_gap_ms, n_violations)``; a clean crawl audits to
+    ``n_violations = 0`` everywhere.
+
+    ``domain_delays`` is the same broadcast-able ``(domain, crawl_delay)``
+    seconds table plan_schedule consumes (robots Crawl-delay /
+    Retry-After / AIMD outputs all land in that shape); the scalar
+    default is the floor. Integer-millisecond arithmetic throughout.
+    One domain-keyed window + one map-side-combinable groupBy."""
+    from pyspark.sql import Window
+
+    d = F.col(domain_col)
+    log = visit_log.select(d.alias("domain"), F.col(ts_col).cast("long").alias("_ts"))
+    if domain_delays is not None:
+        dd = domain_delays.select(
+            "domain",
+            (F.col("crawl_delay") * 1000).cast("long").alias("_dly"),
+        )
+        log = log.join(F.broadcast(dd), "domain", "left")
+    else:
+        log = log.withColumn("_dly", F.lit(None).cast("long"))
+    req = F.greatest(
+        F.coalesce(F.col("_dly"), F.lit(0).cast("long")),
+        F.lit(int(default_delay_ms)).cast("long"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("_ts").asc())
+    gap = F.col("_ts") - F.lag("_ts").over(w)
+    flagged = log.select(
+        "domain",
+        req.alias("delay_ms"),
+        gap.alias("_gap"),
+    )
+    return flagged.groupBy("domain", "delay_ms").agg(
+        (F.count("*")).cast("long").alias("n_visits"),
+        F.min("_gap").alias("min_gap_ms"),
+        F.sum(
+            F.when(F.col("_gap") < F.col("delay_ms"), 1).otherwise(0)
+        ).cast("long").alias("n_violations"),
+    )
