@@ -808,6 +808,39 @@ def q_declared_language(spark, sf_dir):
     )
 
 
+def q_link_graph_stats(spark, sf_dir):
+    """Per-domain link-graph shape (graph.link_graph_stats) with a FULL
+    re-derivation oracle: a deterministic edge table from doc ids (two
+    outlinks per page — one internal, one external on every third — plus
+    duplicate edges every 5th doc), counts + integer internal percent."""
+    from webscraping_spark.operators.graph import link_graph_stats
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    docs = _t(spark, sf_dir, "documents").filter(d < 300)
+    src = F.concat(F.lit("http://g"), (d % 12).cast("string"), F.lit(".com/p"), ds)
+    e1 = docs.select(
+        src.alias("src_url"),
+        F.concat(F.lit("http://g"), (d % 12).cast("string"), F.lit(".com/q"), ds).alias("dst_url"),
+    )
+    e2 = docs.select(
+        src.alias("src_url"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("http://ext"), (d % 4).cast("string"), F.lit(".org/x")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://g"), (d % 12).cast("string"), F.lit(".com/r"))
+        )
+        .alias("dst_url"),
+    )
+    e3 = docs.filter(d % 5 == 0).select(
+        src.alias("src_url"),
+        F.concat(F.lit("http://g"), (d % 12).cast("string"), F.lit(".com/q"), ds).alias("dst_url"),
+    )
+    return link_graph_stats(e1.unionByName(e2).unionByName(e3))
+
+
 def q_politeness_audit(spark, sf_dir):
     """Executed-crawl politeness audit (politeness.politeness_audit) over
     the REAL events table (domain from user_id, millisecond timestamps)
@@ -3146,6 +3179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discover_urls": q_discover_urls,
         "host_aliases": q_host_aliases,
         "politeness_audit": q_politeness_audit,
+        "link_graph_stats": q_link_graph_stats,
         "ann_topk_subset": q_ann_topk_subset,
         "fingerprint": q_fingerprint,
         "image_verify": q_image_verify,
@@ -4567,6 +4601,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_links": _pagerank_oracle(),
         "hits_links": _hits_oracle(),
+        "link_graph_stats": """
+            -- full re-derivation of per-domain link-graph stats over the
+            -- same deterministic edge construction
+            WITH e AS (
+                SELECT 'g' || CAST(doc_id % 12 AS VARCHAR) || '.com' AS domain,
+                       'http://g' || CAST(doc_id % 12 AS VARCHAR)
+                           || '.com/p' || CAST(doc_id AS VARCHAR) AS src,
+                       'http://g' || CAST(doc_id % 12 AS VARCHAR)
+                           || '.com/q' || CAST(doc_id AS VARCHAR) AS dst,
+                       TRUE AS internal
+                FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT 'g' || CAST(doc_id % 12 AS VARCHAR) || '.com',
+                       'http://g' || CAST(doc_id % 12 AS VARCHAR)
+                           || '.com/p' || CAST(doc_id AS VARCHAR),
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'http://ext' || CAST(doc_id % 4 AS VARCHAR)
+                                 || '.org/x'
+                            ELSE 'http://g' || CAST(doc_id % 12 AS VARCHAR)
+                                 || '.com/r' END,
+                       doc_id % 3 <> 0
+                FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT 'g' || CAST(doc_id % 12 AS VARCHAR) || '.com',
+                       'http://g' || CAST(doc_id % 12 AS VARCHAR)
+                           || '.com/p' || CAST(doc_id AS VARCHAR),
+                       'http://g' || CAST(doc_id % 12 AS VARCHAR)
+                           || '.com/q' || CAST(doc_id AS VARCHAR),
+                       TRUE
+                FROM documents WHERE doc_id < 300 AND doc_id % 5 = 0
+            )
+            SELECT domain,
+                   count(DISTINCT src) AS n_pages,
+                   count(*) AS n_outlinks,
+                   sum(CASE WHEN internal THEN 1 ELSE 0 END) AS n_internal,
+                   sum(CASE WHEN internal THEN 0 ELSE 1 END) AS n_external,
+                   count(DISTINCT dst) AS n_unique_targets,
+                   (100 * sum(CASE WHEN internal THEN 1 ELSE 0 END))
+                       // count(*) AS internal_pct
+            FROM e GROUP BY domain
+        """,
         "politeness_audit": """
             -- full re-derivation of the politeness audit: per-domain lag
             -- gaps in integer ms, greatest(override*1000, floor) delay,

@@ -135,3 +135,27 @@ class TestHITS:
         empty = spark.createDataFrame([], "src long, dst long")
         with pytest.raises(ValueError, match="empty"):
             graph.hits(empty)
+
+
+class TestLinkGraphStats:
+    def test_counts_and_internal_pct(self, spark):
+        links = spark.createDataFrame(
+            [
+                ("http://a.com/1", "http://a.com/2"),
+                ("http://a.com/1", "http://sub.a.com/3"),  # registered: internal
+                ("http://a.com/2", "http://b.org/x"),
+                ("http://a.com/2", "http://b.org/x"),  # duplicate edge counts
+                ("http://b.org/x", "http://a.com/1"),
+            ],
+            "src_url string, dst_url string",
+        )
+        got = {
+            r["domain"]: r for r in graph.link_graph_stats(links).collect()
+        }
+        a = got["a.com"]
+        assert (a["n_pages"], a["n_outlinks"], a["n_internal"], a["n_external"]) == (
+            2, 4, 2, 2,
+        )
+        assert a["n_unique_targets"] == 3 and a["internal_pct"] == 50
+        b = got["b.org"]
+        assert (b["n_outlinks"], b["n_internal"], b["internal_pct"]) == (1, 0, 0)

@@ -206,3 +206,42 @@ def hits(
         (F.col("auth_micro").cast("double") / F.lit(float(SCALE))).alias("auth"),
         (F.col("hub_micro").cast("double") / F.lit(float(SCALE))).alias("hub"),
     )
+
+
+def link_graph_stats(
+    links: DataFrame, src_col: str = "src_url", dst_col: str = "dst_url"
+) -> DataFrame:
+    """Per-source-domain link-graph shape from a (src_url, dst_url) edge
+    table: ``(domain, n_pages, n_outlinks, n_internal, n_external,
+    n_unique_targets, internal_pct)`` — the crawl-frontier health readout
+    (a domain emitting 99% internal links is a silo to depth-limit; one
+    emitting mostly external links is a directory/hub worth
+    prioritizing, the HITS intuition as a cheap aggregate).
+
+    ``internal`` means same registered domain on both ends (the
+    get_domain contract shared with politeness/budget keying);
+    ``internal_pct`` is integer percent (floor). ONE map-side-combinable
+    groupBy on the source domain — the edge table is scanned once and
+    never re-shuffled."""
+    from webscraping_spark.functions.udfs import get_domain_col
+
+    s, d = F.col(src_col), F.col(dst_col)
+    keyed = links.select(
+        get_domain_col(s).alias("domain"),
+        s.alias("_s"),
+        d.alias("_d"),
+        (get_domain_col(s) == get_domain_col(d)).alias("_int"),
+    )
+    agg = keyed.groupBy("domain").agg(
+        F.countDistinct("_s").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_outlinks"),
+        F.sum(F.col("_int").cast("long")).cast("long").alias("n_internal"),
+        F.sum((~F.col("_int")).cast("long")).cast("long").alias("n_external"),
+        F.countDistinct("_d").cast("long").alias("n_unique_targets"),
+    )
+    return agg.select(
+        "*",
+        F.expr(
+            "CAST(100 * n_internal AS BIGINT) div CAST(n_outlinks AS BIGINT)"
+        ).alias("internal_pct"),
+    )
