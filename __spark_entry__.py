@@ -848,15 +848,23 @@ def q_politeness_audit(spark, sf_dir):
     greatest(override, floor) required delay, min gap and violation
     counts — the closing audit of the plan -> execute loop."""
     from webscraping_spark.operators.politeness import politeness_audit
+    from webscraping_spark.operators.sessions import wall_micros
 
-    events = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events")
+    events = ev.select(
         F.concat(F.lit("d"), (F.col("user_id") % 20).cast("string"), F.lit(".com")).alias(
             "domain"
         ),
-        F.expr(
-            "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
-            "TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ)) div 1000"
-        ).alias("ts_ms"),
+        # raw stored micros under EITHER parquet timestamp typing (the
+        # r4 driver hash failure was a session-TZ shift from an NTZ cast
+        # on LTZ-typed input); matches DuckDB epoch_us(ts) // 1000 —
+        # remainder subtracted first so the double division is exact
+        (
+            (wall_micros(ev, "ts") - F.pmod(wall_micros(ev, "ts"), F.lit(1000)))
+            / F.lit(1000)
+        )
+        .cast("long")
+        .alias("ts_ms"),
     )
     dd = spark.createDataFrame(
         [("d3.com", 120.0), ("d7.com", 1.0)], "domain string, crawl_delay double"
@@ -2628,12 +2636,15 @@ def q_recrawl_priorities(spark, sf_dir):
     result is bit-identical across engines and partitionings. The oracle
     re-derives the identical window, counts and products in DuckDB."""
     from webscraping_spark.operators.recrawl import recrawl_priorities
+    from webscraping_spark.operators.sessions import wall_micros
 
-    ev = _t(spark, sf_dir, "events").select(
+    raw = _t(spark, sf_dir, "events")
+    # raw stored micros minus the 2024-01-01 naive-epoch constant: TZ- and
+    # parquet-typing-independent on both engines (DuckDB side subtracts
+    # the same epoch_us constant)
+    ev = raw.select(
         F.col("user_id").alias("url_hash"),
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
-        ).alias("crawl_ts"),
+        (wall_micros(raw, "ts") - F.lit(1704067200000000)).alias("crawl_ts"),
         F.col("event_type").alias("content_hash"),
     )
     return recrawl_priorities(ev, _RECRAWL_NOW_US)
@@ -3126,7 +3137,85 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATED (round 5): the driver's oracle exercises the FIRST ~50
+    # entries of this insertion-ordered dict, so ordering IS the
+    # verification schedule. Slots 1-3 are the round-4 hash-red trio
+    # (timestamp-representation fix must show green); slots 4-50 are the
+    # queries that have never had a driver-side check (the r4b-r4e wave).
+    # Everything after slot 50 already has a green driver row in
+    # CORRECTNESS_r0{1..4}.json (or, for 15 rotated-out newer ones,
+    # pytest's test_entry.py runs the identical oracle comparison over
+    # the full registry every round).
     return {
+        # -- slots 1-3: round-4 driver-red, fixed this round ------------
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "politeness_audit": q_politeness_audit,
+        # -- slots 4-50: never driver-verified before this round --------
+        "recrawl_priorities": q_recrawl_priorities,  # oracle retyped r5
+        "semantic_dedup": q_semantic_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "duplicate_token_spans": q_duplicate_token_spans,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "decontam_flags": q_decontam_flags,
+        "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
+        "gopher_filter": q_gopher_filter,
+        "c4_clean": q_c4_clean,
+        "pii_redaction": q_pii_redaction,
+        "repetition_signals": q_repetition_signals,
+        "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
+        "temperature_mix": q_temperature_mix,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "chunk_documents": q_chunk_documents,
+        "pack_examples": q_pack_examples,
+        "bm25_topk": q_bm25_topk,
+        "image_dct_near_dup": q_image_dct_near_dup,
+        "image_dedup_sharpest": q_image_dedup_sharpest,
+        "image_quality": q_image_quality,
+        "image_fmt_sniff": q_image_fmt_sniff,
+        "image_thumbnails": q_image_thumbnails,
+        "jpeg_exif_extract": q_jpeg_exif_extract,
+        "exif_strip": q_exif_strip,
+        "image_pair_harvest": q_image_pair_harvest,
+        "image_caption_filter": q_image_caption_filter,
+        "pair_curation_pipeline": q_pair_curation_pipeline,
+        "webdataset_shards": q_webdataset_shards,
+        "audio_tone_features": q_audio_tone_features,
+        "video_frame_sample": q_video_frame_sample,
+        "cache_revalidation_policy": q_cache_revalidation_policy,
+        "cache_304_merge": q_cache_304_merge,
+        "adaptive_delays": q_adaptive_delays,
+        "retry_after": q_retry_after,
+        "anchor_field": q_anchor_field,
+        "trap_signals": q_trap_signals,
+        "url_quality": q_url_quality,
+        "canonical_clusters": q_canonical_clusters,
+        "page_directives": q_page_directives,
+        "main_content": q_main_content,
+        "cdx_surt": q_cdx_surt,
+        "wet_wat_derive": q_wet_wat,
+        "sitemap_entries": q_sitemap_entries,
+        "domain_budget_prune": q_domain_budget_prune,
+        "ann_topk_subset": q_ann_topk_subset,
+        # -- slots 51+: driver-green in r1-r4, or rotated out (pytest
+        # test_entry.py still oracle-checks every one, every round) ------
+        "link_graph_stats": q_link_graph_stats,
+        "fingerprint": q_fingerprint,
+        "anchor_texts": q_anchor_texts,
+        "tracking_strip": q_tracking_strip,
+        "crawl_churn": q_crawl_churn,
+        "dom_templates": q_dom_templates,
+        "best_representatives": q_best_representatives,
+        "hash_split_docs": q_hash_split_docs,
+        "sitemap_extract": q_sitemap_extract,
+        "domain_budget": q_domain_budget,
+        "curate_pipeline": q_curate_pipeline,
+        "minhash_sig_parity": q_minhash_sig_parity,
+        "image_verify": q_image_verify,
+        "image_phash_near_dup": q_image_phash_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "unseen_filter_anti_join": q_unseen_filter_anti_join,
         "cache_contains_semi_join": q_cache_contains_semi_join,
         "priority_pull_topk": q_priority_pull_topk,
@@ -3155,8 +3244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_topk_cosine": q_embedding_topk_cosine,
         "excerpt_maxby": q_excerpt_maxby,
-        # invariant queries (hard oracles: exact pair set / empty violation
-        # set / full re-derivation / verified count)
         "minhash_near_dupes": q_minhash_near_dupes,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
@@ -3170,77 +3257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "zorder_key": q_zorder_key,
         "collocations": q_collocations,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
         "page_metadata": q_page_metadata,
         "feed_entries": q_feed_entries,
         "head_links": q_head_links,
         "declared_language": q_declared_language,
         "discover_urls": q_discover_urls,
         "host_aliases": q_host_aliases,
-        "politeness_audit": q_politeness_audit,
-        "link_graph_stats": q_link_graph_stats,
-        "ann_topk_subset": q_ann_topk_subset,
-        "fingerprint": q_fingerprint,
-        "image_verify": q_image_verify,
-        "image_phash_near_dup": q_image_phash_near_dup,
-        "image_dct_near_dup": q_image_dct_near_dup,
-        "image_dedup_clusters": q_image_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "chunk_documents": q_chunk_documents,
-        "pack_examples": q_pack_examples,
-        "minhash_sig_parity": q_minhash_sig_parity,
-        "gopher_filter": q_gopher_filter,
-        "c4_clean": q_c4_clean,
-        "dsir_weights": q_dsir_weights,
-        "dsir_resample": q_dsir_resample,
-        "temperature_mix": q_temperature_mix,
-        "lm_perplexity": q_lm_perplexity,
-        "curate_pipeline": q_curate_pipeline,
-        "audio_tone_features": q_audio_tone_features,
-        "video_frame_sample": q_video_frame_sample,
-        "hash_split_docs": q_hash_split_docs,
-        "stratified_sample_docs": q_stratified_sample_docs,
-        "repetition_signals": q_repetition_signals,
-        "duplicate_token_spans": q_duplicate_token_spans,
-        "remove_duplicate_spans": q_remove_duplicate_spans,
-        "decontam_flags": q_decontam_flags,
-        "pii_redaction": q_pii_redaction,
-        "bm25_topk": q_bm25_topk,
-        "url_quality": q_url_quality,
-        "sitemap_extract": q_sitemap_extract,
-        "image_pair_harvest": q_image_pair_harvest,
-        "image_caption_filter": q_image_caption_filter,
-        "image_quality": q_image_quality,
-        "image_dedup_sharpest": q_image_dedup_sharpest,
-        "paragraph_dedup": q_paragraph_dedup,
-        "domain_budget": q_domain_budget,
-        "domain_budget_prune": q_domain_budget_prune,
-        "best_representatives": q_best_representatives,
-        "crawl_churn": q_crawl_churn,
-        "dom_templates": q_dom_templates,
-        "page_directives": q_page_directives,
-        "canonical_clusters": q_canonical_clusters,
-        "cache_revalidation_policy": q_cache_revalidation_policy,
-        "cache_304_merge": q_cache_304_merge,
-        "image_fmt_sniff": q_image_fmt_sniff,
-        "image_thumbnails": q_image_thumbnails,
-        "jpeg_exif_extract": q_jpeg_exif_extract,
-        "recrawl_priorities": q_recrawl_priorities,
-        "pair_curation_pipeline": q_pair_curation_pipeline,
-        "cdx_surt": q_cdx_surt,
-        "main_content": q_main_content,
-        "webdataset_shards": q_webdataset_shards,
-        "anchor_texts": q_anchor_texts,
-        "wet_wat_derive": q_wet_wat,
-        "trap_signals": q_trap_signals,
-        "exif_strip": q_exif_strip,
-        "sitemap_entries": q_sitemap_entries,
-        "tracking_strip": q_tracking_strip,
-        "anchor_field": q_anchor_field,
-        "adaptive_delays": q_adaptive_delays,
-        "retry_after": q_retry_after,
-        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -5247,9 +5269,7 @@ def oracle_sql() -> dict[str, str]:
             -- micro-unit rate and integer priority product
             WITH obs AS (
                 SELECT user_id AS url_hash,
-                       date_diff('microsecond',
-                                 TIMESTAMP '2024-01-01 00:00:00', ts)
-                           AS crawl_ts,
+                       epoch_us(ts) - 1704067200000000 AS crawl_ts,
                        event_type AS content_hash,
                        lag(event_type) OVER (
                            PARTITION BY user_id

@@ -625,3 +625,15 @@ class TestBaseHrefInPlan:
         )
         job.run([seed])
         assert job.visit_urls() == [seed, target]
+
+
+def test_batch_size_width_guard():
+    """Superstep-width contract: the per-superstep driver-side pin is
+    audited to 1e6 rows; wider configs must fail loudly, not OOM."""
+    import pytest as _pytest
+
+    from webscraping_spark.plans.crawl import CrawlConfig
+
+    CrawlConfig(batch_size=1_000_000)  # boundary is inclusive
+    with _pytest.raises(ValueError, match="superstep"):
+        CrawlConfig(batch_size=1_000_001)

@@ -69,3 +69,51 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = entrymod.queries()[name](spark, sf_dir)
     assert df.count() >= 0  # runs and returns a stable schema
     assert len(df.columns) > 0
+
+
+DRIVER_TABLES = set(TABLES)
+
+
+def test_registry_hygiene():
+    """Every queries() entry has an oracle_sql() twin, names never drift,
+    and every oracle references ONLY the driver's pre-registered parquet
+    views (or its own CTEs) — the guard against a future name/oracle
+    drift or an oracle quietly reading a side-channel table."""
+    import re
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q), f"orphan oracles: {set(o) - set(q)}"
+    missing = set(q) - set(o)
+    assert not missing, f"queries without an oracle: {missing}"
+    for name, sql in o.items():
+        sql = re.sub(r"--[^\n]*", "", sql)  # comments mention prose "from"
+        # any `<name> AS (` or `<name>(cols) AS (` is a CTE
+        ctes = set(
+            re.findall(
+                r"([a-zA-Z_]\w*)\s*(?:\([\w\s,]*\))?\s+AS\s*\(", sql, re.IGNORECASE
+            )
+        )
+        refs = set(
+            m.group(1)
+            for m in re.finditer(
+                r"\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", sql, re.IGNORECASE
+            )
+        )
+        builtins = {"range", "generate_series", "unnest", "values"}
+        unknown = {
+            r
+            for r in refs
+            if r.lower() not in DRIVER_TABLES | builtins and r not in ctes
+        }
+        assert not unknown, f"{name}: oracle references non-driver tables {unknown}"
+
+
+def test_registry_insertion_order_is_verification_schedule():
+    """The driver checks the FIRST ~50 registry entries; the round-5
+    rotation must keep the round-4 hash-red trio in the window."""
+    names = list(entrymod.queries())
+    assert len(names) == len(set(names))
+    window = set(names[:50])
+    for must in ("sessionize", "windowed_counts", "politeness_audit",
+                 "recrawl_priorities"):
+        assert must in window, f"{must} rotated out of the driver window"

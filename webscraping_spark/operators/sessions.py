@@ -10,13 +10,26 @@ has no analytics layer at all; its closest notion is the per-domain
 throttle window (download.py:455-473), which this op measures from the
 other side.
 
-Determinism contract: all gap arithmetic is integer WALL-CLOCK
-microseconds — ``timestampdiff(MICROSECOND, ntz-epoch, ts)`` after an
-NTZ cast, which is timezone-FREE and bit-identical to DuckDB's
-``epoch_us`` on a naive timestamp (``unix_micros`` would route through
-the session timezone and make the output depend on it) — and the per-key
-event order is (ts, id), a total order, so session numbering is
-reproducible under any partitioning. Streaming twin: the
+Determinism contract: all gap arithmetic is integer microseconds taken
+STRAIGHT from the stored int64 — ``wall_micros`` dispatches on the
+column's actual Spark type so the value never routes through the session
+timezone under EITHER parquet typing:
+
+- TIMESTAMP (LTZ, parquet isAdjustedToUTC=true): ``unix_micros(ts)`` —
+  instant arithmetic, raw stored micros, session-TZ-invariant. A
+  ``CAST(.. AS TIMESTAMP_NTZ)`` here would RE-RENDER the instant through
+  ``spark.sql.session.timeZone`` and shift every value by the session
+  offset (the round-4 driver hash failure: offsets cancel in gaps, so
+  row counts matched, but not in ``start_us``/window floors).
+- TIMESTAMP_NTZ (parquet isAdjustedToUTC=false): ``timestampdiff`` from
+  the NTZ epoch — raw stored micros (``unix_micros`` would be the wrong
+  leg HERE: Spark first coerces NTZ→LTZ through the session TZ).
+
+Both legs equal DuckDB's ``epoch_us(ts)``, which likewise returns the
+raw int64 for both typings, so the oracle holds under any combination
+of parquet typing and session timezone. The per-key event order is
+(ts, id), a total order, so session numbering is reproducible under any
+partitioning. Streaming twin: the
 same semantics are Structured Streaming's ``session_window`` /
 ``applyInPandasWithState``; the batch form is what a backfill over an
 at-rest log runs, and what a SQL oracle can re-derive.
@@ -31,14 +44,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
 
 
-def _wall_micros(ts_col: str):
-    """Timezone-free integer microseconds since the naive epoch."""
+def _ntz_micros(ts_col: str):
+    """NTZ leg: raw stored micros for a TIMESTAMP_NTZ (or string) column."""
     return F.expr(
         "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
         f"TIMESTAMP_NTZ), CAST({ts_col} AS TIMESTAMP_NTZ))"
     )
+
+
+def wall_micros(df: DataFrame, ts_col: str):
+    """Raw stored int64 microseconds of ``ts_col``, independent of the
+    session timezone AND of how the parquet writer typed the column
+    (instant / isAdjustedToUTC=true → TIMESTAMP_LTZ → ``unix_micros``;
+    naive / isAdjustedToUTC=false → TIMESTAMP_NTZ → NTZ-epoch
+    ``timestampdiff``). Matches DuckDB ``epoch_us(ts)`` bit-for-bit on
+    both typings — the shared device for every timestamp-consuming
+    operator (sessions, windows, politeness audit, recrawl)."""
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        return F.unix_micros(F.col(ts_col))
+    return _ntz_micros(ts_col)
 
 
 def sessionize(
@@ -56,7 +83,7 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
-    us = _wall_micros(ts_col)
+    us = wall_micros(events, ts_col)
     prev = F.lag(us).over(w)
     new_sess = F.when(
         prev.isNull() | (us - prev > F.lit(int(gap_s) * 1_000_000)), 1
@@ -79,7 +106,7 @@ def session_stats(
     session_seq, session_id, n_events, start_us, end_us, duration_s)``.
     Duration is integer micros differenced then floor-divided to whole
     seconds — engine-reproducible."""
-    us = _wall_micros(ts_col)
+    us = wall_micros(sessions, ts_col)
     return (
         sessions.groupBy(key_col, "session_seq", "session_id")
         .agg(
@@ -110,11 +137,10 @@ def windowed_counts(
     ``value_col`` sums in 1e-6 fixed point BEFORE aggregation so the
     result is reduction-order-free (the lm.py device). ONE
     map-side-combinable groupBy."""
-    start = F.expr(
-        f"(timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
-        f"TIMESTAMP_NTZ), CAST({ts_col} AS TIMESTAMP_NTZ)) div "
-        f"CAST({int(window_s) * 1_000_000} AS BIGINT)) * "
-        f"CAST({int(window_s) * 1_000_000} AS BIGINT)"
+    span = F.lit(int(window_s) * 1_000_000).cast("long")
+    us = wall_micros(events, ts_col)
+    start = (us - (us % span) + F.when(us % span < 0, -span).otherwise(0)).cast(
+        "long"
     )
     micro_val = F.expr(f"CAST(round({value_col} * 1000000) AS BIGINT)")
     return (

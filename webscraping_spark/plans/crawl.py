@@ -164,6 +164,23 @@ class CrawlConfig:
                 "leaf-prefix batching), or use mode='bfs' which is "
                 "batch-invariant"
             )
+        # Superstep-width contract: each claimed batch is pinned
+        # DRIVER-SIDE (one collect of batch_size skinny rows — url, seq,
+        # depth, priority; ~200 B/row) because the ordered visit log and
+        # the superstep's join keys need the rows materialized. That is
+        # the ONLY driver-memory term that scales with batch_size: 10^6
+        # rows ≈ 200 MB, comfortably inside even spark-submit's default
+        # 1g driver; 10^7 is where a 4g driver becomes mandatory. The
+        # guard keeps the knob inside the audited envelope — widening a
+        # superstep past this needs a distributed visit-log append path,
+        # not a bigger heap (tracked in PLANS.md).
+        if self.batch_size > 1_000_000:
+            raise ValueError(
+                f"batch_size={self.batch_size} exceeds the audited superstep "
+                "width (1e6 rows ≈ 200 MB pinned driver-side per superstep). "
+                "Run more supersteps, or add a distributed visit-log path "
+                "before widening"
+            )
 
 
 @dataclass
@@ -499,7 +516,9 @@ class CrawlJob:
             # pin the claimed batch by materializing it driver-side: it is
             # at most batch_size rows (the visit log needs them anyway),
             # and re-creating the DataFrame from the collected rows is both
-            # the pin and the collect in a single job
+            # the pin and the collect in a single job. Bounded by the
+            # CrawlConfig batch_size<=1e6 guard (~200 MB of skinny rows) —
+            # the documented superstep-width contract
             all_rows = batch.collect()
             if not all_rows:
                 break
