@@ -142,18 +142,19 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
         F.lit(0).alias("depth"),
     )
     exact = ExactSeenSet(seen_rows)
-    # Dedup strategy is SIZE-ADAPTIVE (operators/seen.py): seen state that
-    # fits a broadcast (n/5 8-byte hashes = 26 MB at 16M rows) gets a pure
-    # in-codegen broadcast ANTI-join — Catalyst alone refuses it because it
-    # sizes the seen side from its range() source, hence the explicit
-    # seen_join="broadcast" (profiled un-hinted: an ~830 MB candidate-side
-    # shuffle with every bloom-cleared NULL probe key in ONE partition).
-    # The Bloom prefilter + cogroup probe + eager filter build belong to
-    # the >256 MB-state regime (10^10 URLs) where no broadcast exists; at
-    # bench state sizes the broadcast path never probes the Bloom, so
-    # building one from scratch each run would add two dead jobs (an
-    # eager 12.8M-item filter build) to every measurement. That regime's
-    # machinery is exercised by tests/test_seen.py and the crawl loop.
+    # Dedup strategy is SIZE-ADAPTIVE (operators/seen.py docstring carries
+    # the measured table): at this shape — n/5 = 12.8M seen keys at 64M
+    # rows — the broadcast anti-join's driver-side hashed-relation build
+    # is a ~10 s SERIAL term, identical at every core count (round-5
+    # probe: join-component 4->16 efficiency 0.28, the whole stage's r4
+    # scaling floor), while the sort-merge anti-join ties it at 16 cores
+    # and keeps scaling (0.66), so "merge" is the right pin here and at
+    # the local[32] headline. Small per-superstep batches (the crawl
+    # loop) stay "broadcast" — their build is sub-second. The Bloom
+    # prefilter + cogroup probe belong to the >256 MB-state regime
+    # (10^10 URLs) where neither broadcast nor a full candidate shuffle
+    # is affordable; that machinery is exercised by tests/test_seen.py
+    # and the crawl loop.
     bloom = BloomSeenSet.empty(
         spark,
         num_partitions=max(spark.sparkContext.defaultParallelism, 8),
@@ -161,7 +162,7 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
             n // 4 // max(spark.sparkContext.defaultParallelism, 8), 1000
         ),
     )
-    unseen = bloom.filter_unseen_prefilter(canon, exact, seen_join="broadcast")
+    unseen = bloom.filter_unseen_prefilter(canon, exact, seen_join="merge")
     # url_hash/depth are dead after the anti-join; dropping them BEFORE the
     # politeness plan keeps 12 bytes/row off the politeness exchange
     unseen = unseen.drop("url_hash", "depth")

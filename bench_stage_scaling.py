@@ -10,8 +10,9 @@ spark-submit --py-files) and reduce to the stage-granular scaling table
                                      DRAM-contention share)
     eff_rel   = eff_raw / ceiling
 
-Appends one JSON line per level to BENCH/stage_scaling_r4.jsonl plus a
-summary line, and prints the summary.
+Appends one JSON line per level to BENCH/$SPARK_GRAFT_SCALING_OUT
+(default stage_scaling_r5.jsonl) plus a summary line, and prints the
+summary.
 
 Usage: python bench_stage_scaling.py [--n ROWS] [--cores-small 4]
        [--cores-large 16]
@@ -123,7 +124,9 @@ def main():
         "urls_per_sec_small": small.get("urls_per_sec"),
         "urls_per_sec_large": large.get("urls_per_sec"),
     }
-    out = os.path.join(REPO, "BENCH", "stage_scaling_r4.jsonl")
+    out = os.path.join(
+        REPO, "BENCH", os.environ.get("SPARK_GRAFT_SCALING_OUT", "stage_scaling_r5.jsonl")
+    )
     with open(out, "a") as fh:
         fh.write(json.dumps({"level": "small", **small}) + "\n")
         fh.write(json.dumps({"level": "large", **large}) + "\n")

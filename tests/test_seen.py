@@ -141,3 +141,49 @@ class TestSparkSeenSets:
         }
         assert all(flagged[h] for h in range(100, 400))  # kept keys present
         assert sum(flagged[h] for h in range(100)) < 10  # deleted keys gone
+
+
+class TestAntiJoinStrategies:
+    def test_merge_leg_parity_and_plan(self, spark):
+        """seen_join='merge' (the multi-million-key superstep shape, round-5
+        probe: broadcast's driver-side build is a serial ~10s Amdahl term
+        at 12.8M keys) must produce identical rows via a SortMergeJoin."""
+        from pyspark.sql import functions as F
+
+        exact = S.ExactSeenSet.empty(spark).add(
+            spark.range(0, 300).select(
+                F.col("id").alias("url_hash"), F.lit(0).alias("depth")
+            )
+        )
+        bloom = S.BloomSeenSet.empty(
+            spark, num_partitions=4, expected_items_per_partition=1000
+        )
+        cands = spark.range(0, 600).select(F.col("id").alias("url_hash"))
+        out = bloom.filter_unseen_prefilter(cands, exact, seen_join="merge")
+        got = sorted(r["url_hash"] for r in out.collect())
+        assert got == list(range(300, 600))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan  # merge leg skips the probe too
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+
+    def test_bloom_path_probe_key_distributes_cleared_rows(self, spark):
+        """The bloom path's probe key must be the struct(cleared, hash)
+        form: cleared rows never equi-match the seen side but still carry
+        their own hash (NULL keys would all land in one shuffle
+        partition — the r3 pathology)."""
+        from pyspark.sql import functions as F
+
+        exact = S.ExactSeenSet.empty(spark).add(
+            spark.range(0, 100).select(
+                F.col("id").alias("url_hash"), F.lit(0).alias("depth")
+            )
+        )
+        bloom = S.BloomSeenSet.empty(
+            spark, num_partitions=4, expected_items_per_partition=1000
+        ).add(spark.range(0, 100).select(F.col("id").alias("url_hash")))
+        cands = spark.range(0, 400).select(F.col("id").alias("url_hash"))
+        out = bloom.filter_unseen_prefilter(cands, exact)
+        assert sorted(r["url_hash"] for r in out.collect()) == list(range(100, 400))
+        # the plan's join key is a struct, not a nullable when()
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "_probe_key" in plan and "struct" in plan.lower()

@@ -363,28 +363,50 @@ class BloomSeenSet:
         anti-join shuffle. With a healthy FP rate the anti-join input
         shrinks to ~|actually seen| + eps.
 
-        ``seen_join`` optionally pins the anti-join strategy ("broadcast" /
-        "shuffle_hash" / "merge"). Catalyst estimates the seen side's size
-        from its source relation; when the seen keys come out of a narrow
-        projection (8-byte hashes of wide rows) the estimate can overshoot
-        the broadcast threshold by orders of magnitude and force a full
-        shuffle of the CANDIDATE side — with the NULL probe keys of every
-        bloom-cleared row landing in a single skewed partition. A caller
-        that knows the seen side is broadcast-small passes "broadcast" and
-        the whole anti-join becomes map-side, no exchange at all.
+        ``seen_join`` optionally pins the anti-join strategy. Catalyst
+        estimates the seen side's size from its source relation; when the
+        seen keys come out of a narrow projection (8-byte hashes of wide
+        rows) the estimate can overshoot the broadcast threshold by orders
+        of magnitude and force a shuffle the caller knows is unnecessary —
+        the hint is a size-estimate correction, not an optimizer override.
 
-        With "broadcast" the Bloom probe is SKIPPED entirely: a broadcast
-        anti-join already tests every row against an exact in-memory hash
-        map inside whole-stage codegen, so a pre-filter that itself costs
-        an Arrow round-trip per row (the probe is a pandas UDF) can only
-        add work — measured at 64M rows the probe's Arrow hop dominated
-        the stage. The Bloom earns its keep exactly when the exact state
-        CANNOT broadcast and the prefilter keeps most rows out of the
-        anti-join shuffle.
+        STRATEGY SELECTION (round-5 probe, 64M candidates x 12.8M seen,
+        pinned local[4]/local[16], BENCH/unseen_probe_r5.json):
+
+        - "broadcast": plain broadcast anti-join, Bloom probe SKIPPED (a
+          broadcast anti-join already tests every row against an exact
+          in-memory hash map inside whole-stage codegen; the pandas-UDF
+          probe's Arrow hop measured as pure overhead on this path). The
+          catch is an Amdahl term: the hashed relation builds ON THE
+          DRIVER, single-threaded — measured ~10 s at 12.8M keys,
+          IDENTICAL at 4 and 16 cores (join-component efficiency 0.28).
+          Right answer when the seen side is small (the crawl loop's
+          per-superstep batches: <~1M keys, sub-second build).
+        - "merge": plain sort-merge anti-join — both sides exchange +
+          sort, every term parallel. Measured: ties broadcast at 16 cores
+          (14.7 s vs 14.4 s), join-component 4->16 efficiency 0.66 vs
+          broadcast's 0.28, so it pulls ahead at 32 cores and is the
+          right answer when the seen side is multi-million-key (bench's
+          12.8M-key superstep shape).
+        - "shuffle_hash": measured ANTI-scaling at this shape (27 s at 4
+          cores -> 49 s at 16): per-partition hash-map builds thrash once
+          16 concurrent builders contend for the heap. Kept only as an
+          explicit escape hatch.
+        - None (default): Bloom prefilter + exact anti-join on the
+          might-be-seen slice — the 10^10-URL regime where the seen state
+          can neither broadcast nor cheaply full-shuffle; the Bloom thins
+          the anti-join input to ~|actually seen| + eps.
         """
         if seen_join == "broadcast":
             seen_keys = exact.df.select(F.col("url_hash").alias("_seen_hash")).hint(
                 "broadcast"
+            )
+            return candidates.join(
+                seen_keys, F.col(on) == F.col("_seen_hash"), "left_anti"
+            )
+        if seen_join == "merge":
+            seen_keys = exact.df.select(F.col("url_hash").alias("_seen_hash")).hint(
+                "merge"
             )
             return candidates.join(
                 seen_keys, F.col(on) == F.col("_seen_hash"), "left_anti"
@@ -394,18 +416,29 @@ class BloomSeenSet:
             flagged = self.might_contain_broadcast(candidates, on=on)
         else:
             flagged = self.might_contain(candidates, on=on)
-        # Single-pass anti-join: null out the probe key for rows the Bloom
-        # cleared — NULL never equi-matches, so definitely-unseen rows sail
-        # through the anti join untouched while only might-be-seen keys are
-        # actually probed. One plan, no filter-split union, no re-evaluation
-        # of the probe, and Catalyst broadcasts the seen side when small.
-        probe_key = F.when(F.col("might_be_seen"), F.col(on))
-        seen_keys = exact.df.select(F.col("url_hash").alias("_seen_hash"))
+        # Single-pass anti-join with a SKEW-FREE probe key: the key is
+        # struct(cleared, hash) — bloom-cleared rows carry (true, hash),
+        # the seen side is uniformly (false, hash), so cleared rows can
+        # never equi-match (they sail through the anti join) yet still
+        # HASH-DISTRIBUTE by their own url_hash if the join executes as a
+        # shuffle. The earlier NULL-key form had the same no-match
+        # semantics but sent every cleared row (75%+ of a typical batch)
+        # to ONE partition — hash(NULL) is a constant — which is the r3
+        # 830 MB single-partition pathology. One plan, no filter-split
+        # union, no re-evaluation of the probe.
+        probe_key = F.struct(
+            (~F.col("might_be_seen")).alias("_cleared"), F.col(on).alias("_h")
+        )
+        seen_keys = exact.df.select(
+            F.struct(
+                F.lit(False).alias("_cleared"), F.col("url_hash").alias("_h")
+            ).alias("_seen_key")
+        )
         if seen_join:
             seen_keys = seen_keys.hint(seen_join)
         return (
             flagged.withColumn("_probe_key", probe_key)
-            .join(seen_keys, F.col("_probe_key") == F.col("_seen_hash"), "left_anti")
+            .join(seen_keys, F.col("_probe_key") == F.col("_seen_key"), "left_anti")
             .drop("_probe_key", "might_be_seen")
         )
 
