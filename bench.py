@@ -142,19 +142,24 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
         F.lit(0).alias("depth"),
     )
     exact = ExactSeenSet(seen_rows)
-    # Dedup strategy is SIZE-ADAPTIVE (operators/seen.py docstring carries
-    # the measured table): at this shape — n/5 = 12.8M seen keys at 64M
-    # rows — the broadcast anti-join's driver-side hashed-relation build
-    # is a ~10 s SERIAL term, identical at every core count (round-5
-    # probe: join-component 4->16 efficiency 0.28, the whole stage's r4
-    # scaling floor), while the sort-merge anti-join ties it at 16 cores
-    # and keeps scaling (0.66), so "merge" is the right pin here and at
-    # the local[32] headline. Small per-superstep batches (the crawl
-    # loop) stay "broadcast" — their build is sub-second. The Bloom
-    # prefilter + cogroup probe belong to the >256 MB-state regime
-    # (10^10 URLs) where neither broadcast nor a full candidate shuffle
-    # is affordable; that machinery is exercised by tests/test_seen.py
-    # and the crawl loop.
+    # Dedup strategy is SIZE- and CONTEXT-adaptive (operators/seen.py
+    # docstring carries the measured table). The round-5 probes ran the
+    # full broadcast/merge/shuffle_hash matrix at this shape (n/5 = 12.8M
+    # seen keys, 64M candidates): in ISOLATION broadcast's driver-side
+    # hashed-relation build is a ~10 s serial term (join-component 4->16
+    # efficiency 0.28 vs sort-merge's 0.66), but in the FUSED pipeline
+    # broadcast deletes the anti-join's exchange entirely — the join runs
+    # map-side inside the canonicalize stage — while merge inserts a full
+    # 64M-row exchange + sort of the candidate side (measured fused
+    # 16-core: 161 s broadcast vs 275 s merge, stage_scaling_r5.jsonl).
+    # The ~10 s serial term is <6% of the fused pipeline, so "broadcast"
+    # is the right pin HERE; "merge" wins only when the stage stands
+    # alone or the seen side outgrows the driver (strategy table in
+    # seen.py). Small per-superstep crawl batches are also "broadcast"
+    # (sub-second build). The Bloom prefilter + cogroup probe belong to
+    # the >256 MB-state regime (10^10 URLs) where neither broadcast nor a
+    # full candidate shuffle is affordable; that machinery is exercised
+    # by tests/test_seen.py and the crawl loop.
     bloom = BloomSeenSet.empty(
         spark,
         num_partitions=max(spark.sparkContext.defaultParallelism, 8),
@@ -162,7 +167,7 @@ def _build_pipeline(spark, n: int, timings: dict | None = None):
             n // 4 // max(spark.sparkContext.defaultParallelism, 8), 1000
         ),
     )
-    unseen = bloom.filter_unseen_prefilter(canon, exact, seen_join="merge")
+    unseen = bloom.filter_unseen_prefilter(canon, exact, seen_join="broadcast")
     # url_hash/depth are dead after the anti-join; dropping them BEFORE the
     # politeness plan keeps 12 bytes/row off the politeness exchange
     unseen = unseen.drop("url_hash", "depth")

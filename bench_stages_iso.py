@@ -127,7 +127,7 @@ def build_inputs(spark, n: int) -> dict[str, str]:
             ),
         )
         return bloom.filter_unseen_prefilter(
-            canon, exact, seen_join="merge"
+            canon, exact, seen_join="broadcast"
         ).drop("url_hash", "depth")
 
     _mat(unseen_df(), paths["unseen"])
@@ -234,7 +234,7 @@ def stage_builders(spark, n: int, paths: dict[str, str]):
             ),
         )
         return bloom.filter_unseen_prefilter(
-            canon, exact, seen_join="merge"
+            canon, exact, seen_join="broadcast"
         ).drop("url_hash", "depth")
 
     def st_politeness():

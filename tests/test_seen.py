@@ -145,9 +145,11 @@ class TestSparkSeenSets:
 
 class TestAntiJoinStrategies:
     def test_merge_leg_parity_and_plan(self, spark):
-        """seen_join='merge' (the multi-million-key superstep shape, round-5
-        probe: broadcast's driver-side build is a serial ~10s Amdahl term
-        at 12.8M keys) must produce identical rows via a SortMergeJoin."""
+        """seen_join='merge' (the STANDALONE multi-million-key shape —
+        round-5 probe: broadcast's driver-side build is a serial ~10s
+        Amdahl term at 12.8M keys; fused pipelines still prefer
+        broadcast, see seen.py docstring) must produce identical rows
+        via a SortMergeJoin."""
         from pyspark.sql import functions as F
 
         exact = S.ExactSeenSet.empty(spark).add(

@@ -381,13 +381,24 @@ class BloomSeenSet:
           DRIVER, single-threaded — measured ~10 s at 12.8M keys,
           IDENTICAL at 4 and 16 cores (join-component efficiency 0.28).
           Right answer when the seen side is small (the crawl loop's
-          per-superstep batches: <~1M keys, sub-second build).
+          per-superstep batches: <~1M keys, sub-second build) AND for
+          fused pipelines even at ~10M keys: fused, the broadcast
+          anti-join costs no exchange at all and its serial build is a
+          single-digit percentage of pipeline time (see "merge" below).
         - "merge": plain sort-merge anti-join — both sides exchange +
-          sort, every term parallel. Measured: ties broadcast at 16 cores
-          (14.7 s vs 14.4 s), join-component 4->16 efficiency 0.66 vs
-          broadcast's 0.28, so it pulls ahead at 32 cores and is the
-          right answer when the seen side is multi-million-key (bench's
-          12.8M-key superstep shape).
+          sort, every term parallel. Measured in ISOLATION: ties
+          broadcast at 16 cores (14.7 s vs 14.4 s), join-component 4->16
+          efficiency 0.66 vs broadcast's 0.28. The context caveat: in a
+          FUSED pipeline broadcast runs the anti-join map-side INSIDE
+          the upstream stage (zero exchange), while merge inserts a full
+          candidate-side exchange + sort — measured fused at 64M rows /
+          16 cores: 161 s broadcast vs 275 s merge
+          (BENCH/stage_scaling_r5.jsonl), because the ~10 s serial build
+          is <6% of the fused pipeline but the extra exchange is ~40% of
+          it. So "merge" is the right answer only when the anti-join
+          STANDS ALONE (its input already materialized) with a
+          multi-million-key seen side, or when the seen side outgrows
+          driver memory but still fits a shuffle.
         - "shuffle_hash": measured ANTI-scaling at this shape (27 s at 4
           cores -> 49 s at 16): per-partition hash-map builds thrash once
           16 concurrent builders contend for the heap. Kept only as an
