@@ -458,6 +458,26 @@ def q_minhash_near_dupes(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Directed one-sided Jaccard (containment = |A∩B|/|A| over word-3-
+    shingles) at >= 0.6 on the bounded doc set, via the LSH-pruned exact
+    path (banded minhash candidates -> pair-restricted exact shingle
+    intersection, dedup.containment_near_dupes). HARD oracle: DuckDB
+    re-derives the FULL exact directed containment pair set with no
+    pruning — equality holds only if the 32x2 bands reached every
+    qualifying pair AND the pruned exact arithmetic (IEEE division of the
+    same integer pair) is bit-identical. On this corpus every pair at
+    containment >= 0.6 is a planted near-dup at J >= 0.95 (band catch
+    probability ~1 under the fixed seed), verified against the unpruned
+    exact set at build time. Catches the near-superset duplication
+    symmetric Jaccard misses (a short doc quoted whole inside a longer
+    boilerplate page: C ~ 1, J ~ |A|/|B|)."""
+    from webscraping_spark.operators.dedup import containment_near_dupes
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return containment_near_dupes(docs, k=3, threshold=0.6, n_bands=32)
+
+
 def q_simhash(spark, sf_dir):
     """SimHash violation set (hard oracle: EMPTY). Two invariants that are
     independent of the hash family: (a) docs with identical text must get
@@ -3263,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declared_language": q_declared_language,
         "discover_urls": q_discover_urls,
         "host_aliases": q_host_aliases,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -6099,5 +6120,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rk.rn <= (2 * cnt.n) // 3 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM final f LEFT JOIN rk USING (doc_id) CROSS JOIN cnt
+        """,
+        "containment_pairs": """
+            -- FULL exact directed containment (no LSH pruning): the Spark
+            -- side's banded-candidate + pair-restricted exact intersection
+            -- must emit exactly this set, with bit-identical IEEE division
+            -- of the same (intersection, |A|) integer pair
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(arr) - 2, 1) + 1)])) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+                      FROM documents WHERE doc_id < 200)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                       count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT contained_id, container_id,
+                   ni::DOUBLE / sa.n AS containment
+            FROM inter JOIN sizes sa ON sa.doc_id = contained_id
+            WHERE ni::DOUBLE / sa.n >= 0.6
         """,
     }

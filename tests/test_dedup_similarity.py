@@ -423,6 +423,57 @@ class TestMultimodal:
             sample_video_frames(videos).collect()
 
 
+class TestContainment:
+    """One-sided Jaccard: the near-superset case symmetric Jaccard misses
+    (a short doc quoted whole inside a long boilerplate page)."""
+
+    @staticmethod
+    def _superset_corpus(spark):
+        rng = np.random.default_rng(11)
+        words = [f"w{i}" for i in range(50)]
+        base = " ".join(rng.choice(words, size=50))
+        sup = base + " " + " ".join(rng.choice(words, size=120))
+        docs = [(0, base), (1, sup)]
+        for i in range(2, 8):
+            docs.append((i, " ".join(rng.choice(words, size=50))))
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_exact_containment_directed(self, spark):
+        df = self._superset_corpus(spark)
+        got = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.9).collect()
+        }
+        assert (0, 1) in got and got[(0, 1)] == 1.0  # base is a prefix of sup
+        assert (1, 0) not in got  # reverse direction is ~|A|/|B| ~ 0.3
+        assert all(p == (0, 1) for p in got)  # random docs never contain
+        # symmetric Jaccard at 0.5 misses exactly this pair: J = |A|/|B|
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        }
+        assert (0, 1) not in jac
+
+    def test_lsh_containment_matches_exact(self, spark):
+        """The LSH-pruned variant computes EXACT containment on candidate
+        pairs, so its output must equal containment_pairs wherever the
+        bands reach — and at J ~ 0.3 with 32 bands x 2 rows the catch
+        probability is ~1 (1 - (1 - 0.3^2)^32 ~ 0.95+), deterministic
+        here under the fixed seed."""
+        df = self._superset_corpus(spark)
+        exact = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.containment_pairs(df, threshold=0.9).collect()
+        }
+        lsh = {
+            (r["contained_id"], r["container_id"]): r["containment"]
+            for r in dedup.containment_near_dupes(
+                df, threshold=0.9, n_bands=32
+            ).collect()
+        }
+        assert lsh == exact  # pruned-exact: subset by construction, equal here
+
+
 class TestConnectedComponents:
     """Near-dup clustering (dedup.connected_components): alternating
     large-star/small-star must agree with a driver-side union-find on any

@@ -186,6 +186,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed one-sided Jaccard (containment) C(A->B) = |A∩B| / |A| over
+    word-k-shingle sets, for every ordered pair sharing >= 1 shingle.
+
+    Catches near-SUPERSET duplication that symmetric Jaccard misses: a
+    short article quoted whole inside a long boilerplate-heavy page has
+    C(article->page) ~ 1 while J = |A|/|B| can be arbitrarily small — the
+    quotation / boilerplate-inflation case in web curation. (The reference
+    library dedups exact-only, by URL-keyed cache hit — download.py:193-222;
+    this extends the same dedup family SURVEY §2 maps to MinHash/SimHash.)
+
+    Output: (contained_id, container_id, containment), both directions of
+    each unordered pair evaluated independently against ``threshold``.
+
+    Same complexity note as ngram_jaccard_pairs: self-join on shingle_hash
+    — bound the doc set before calling at scale, or use
+    containment_near_dupes, which prunes the pair space with the same
+    banded LSH as minhash_near_dupes.
+    """
+    sh = shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("contained_id"),
+            F.col(f"b.{id_col}").alias("container_id"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    size_a = sizes.select(
+        F.col(id_col).alias("contained_id"), F.col("set_size").alias("size_a")
+    )
+    return (
+        inter.join(size_a, "contained_id")
+        .withColumn("containment", F.col("n_inter") / F.col("size_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
+def containment_near_dupes(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    n_bands: int = 32,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH-pruned EXACT containment: banded-minhash candidate pairs (the
+    same machinery as minhash_near_dupes), then exact |A∩B|/|A| in both
+    directions computed only on the candidate pairs via a pair-restricted
+    shingle join. Same output shape as containment_pairs.
+
+    The 100-TB shape: no all-pairs join anywhere — the candidate set is a
+    banded equi-join, and the exact pass shuffles sum(|A| shingles over
+    candidate pairs) rows, not the corpus cross product.
+
+    Recall caveat (inherent to Jaccard-LSH used for an asymmetric
+    measure): a pair at containment c with size ratio r = |B|/|A| has
+    J = c / (1 + r - c), so extreme supersets (r >> 1) sit low on the
+    band s-curve. Narrow bands help — the default here is 32 bands x 2
+    rows (vs minhash_near_dupes' 16 x 4), which catches J >= ~0.15 with
+    p ~ 0.5 — and truly adversarial ratios belong on containment_pairs
+    over a bounded slice.
+    """
+    sigs = minhash_signatures(docs, n_hashes, k, seed, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, n_bands)
+    sh = shingles(docs, k, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle_hash").alias("h"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle_hash").alias("h"))
+    inter = (
+        cands.join(sa, "id_a").join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sized = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
+        "id_b",
+    )
+    fwd = sized.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("n_inter") / F.col("size_a")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("n_inter") / F.col("size_b")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (pure JVM: remix with seeded xxhash64, 64-way min aggregate)
 # ---------------------------------------------------------------------------
