@@ -478,6 +478,25 @@ def q_containment_pairs(spark, sf_dir):
     return containment_near_dupes(docs, k=3, threshold=0.6, n_bands=32)
 
 
+def q_drop_contained(spark, sf_dir):
+    """Containment-dedup survivor policy (dedup.drop_contained) as a
+    per-doc kept flag: strictly-contained docs (one direction >= 0.6)
+    drop; mutual-containment clusters (near-identical docs) resolve via
+    connected components keeping the min-id representative. HARD oracle:
+    DuckDB re-derives the full exact containment pair set, splits it
+    strict/mutual, transitively closes the mutual edges with a recursive
+    CTE, and recomputes every kept flag."""
+    from webscraping_spark.operators.dedup import drop_contained
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kept = drop_contained(docs, k=3, threshold=0.6, n_bands=32).select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return docs.select("doc_id").join(kept, "doc_id", "left").select(
+        "doc_id", F.coalesce("kept", F.lit(False)).alias("kept")
+    )
+
+
 def q_simhash(spark, sf_dir):
     """SimHash violation set (hard oracle: EMPTY). Two invariants that are
     independent of the hash family: (a) docs with identical text must get
@@ -3284,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discover_urls": q_discover_urls,
         "host_aliases": q_host_aliases,
         "containment_pairs": q_containment_pairs,
+        "drop_contained": q_drop_contained,
     }
 
 
@@ -6144,5 +6164,54 @@ def oracle_sql() -> dict[str, str]:
                    ni::DOUBLE / sa.n AS containment
             FROM inter JOIN sizes sa ON sa.doc_id = contained_id
             WHERE ni::DOUBLE / sa.n >= 0.6
+        """,
+        "drop_contained": """
+            -- full re-derivation of the containment survivor policy:
+            -- exact directed containment >= 0.6, strict pairs drop their
+            -- contained side, mutual pairs transitively closed (recursive
+            -- CTE) with the min-id representative kept
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                           FOR i IN range(1, greatest(len(arr) - 2, 1) + 1)])) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+                      FROM documents WHERE doc_id < 200)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+                       count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ), cpairs AS (
+                SELECT contained_id, container_id
+                FROM inter JOIN sizes sa ON sa.doc_id = contained_id
+                WHERE ni::DOUBLE / sa.n >= 0.6
+            ), mutual AS (
+                SELECT p.contained_id, p.container_id FROM cpairs p
+                JOIN cpairs q ON q.contained_id = p.container_id
+                            AND q.container_id = p.contained_id
+            ), strictp AS (
+                -- cpairs minus mutual, as an anti-join: EXCEPT is not
+                -- allowed for CTEs inside a WITH RECURSIVE block
+                SELECT c.contained_id, c.container_id FROM cpairs c
+                LEFT JOIN mutual m ON m.contained_id = c.contained_id
+                                  AND m.container_id = c.container_id
+                WHERE m.contained_id IS NULL
+            ), reach(id, lbl) AS (
+                SELECT contained_id, contained_id FROM mutual
+                UNION
+                SELECT m.contained_id, r.lbl
+                FROM mutual m JOIN reach r ON r.id = m.container_id
+            ), comp AS (
+                SELECT id, min(lbl) AS component FROM reach GROUP BY id
+            ), drops AS (
+                SELECT DISTINCT contained_id AS doc_id FROM strictp
+                UNION
+                SELECT id AS doc_id FROM comp WHERE id <> component
+            )
+            SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN drops dr ON dr.doc_id = d.doc_id
         """,
     }

@@ -473,6 +473,37 @@ class TestContainment:
         }
         assert lsh == exact  # pruned-exact: subset by construction, equal here
 
+    def test_drop_contained_policy(self, spark):
+        """Strictly-contained docs drop; mutual-containment (near-identical)
+        chains cluster and keep the min-id representative; everything
+        else survives."""
+        rng = np.random.default_rng(13)
+        words = [f"w{i}" for i in range(50)]
+        base = " ".join(rng.choice(words, size=50))
+        sup = base + " " + " ".join(rng.choice(words, size=120))
+        tri = list(rng.choice(words, size=60))
+        tri_b = list(tri)
+        tri_b[10] = "EDIT1"
+        tri_c = list(tri_b)
+        tri_c[40] = "EDIT2"
+        docs = [
+            (0, base),            # strictly contained in 1 -> drops
+            (1, sup),             # container -> survives
+            (6, " ".join(tri)),   # mutual chain 6~7~8 -> 6 survives
+            (7, " ".join(tri_b)),
+            (8, " ".join(tri_c)),
+            (9, " ".join(rng.choice(words, size=50))),  # unrelated
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        for exact in (True, False):
+            kept = sorted(
+                r["doc_id"]
+                for r in dedup.drop_contained(
+                    df, threshold=0.8, exact=exact
+                ).collect()
+            )
+            assert kept == [1, 6, 9], (exact, kept)
+
 
 class TestConnectedComponents:
     """Near-dup clustering (dedup.connected_components): alternating

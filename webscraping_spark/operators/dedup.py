@@ -293,6 +293,67 @@ def containment_near_dupes(
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
+def drop_contained(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.9,
+    n_hashes: int = 64,
+    n_bands: int = 32,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Containment-dedup survivor policy: returns the docs that survive.
+
+    Two regimes in the directed pair set, handled differently:
+
+    - STRICT containment (C(X->Y) >= t, C(Y->X) < t): X is a near-subset
+      of a strictly larger doc — X drops unconditionally; its content
+      survives inside Y (or Y's own representative if Y is itself a
+      duplicate).
+    - MUTUAL containment (both directions >= t): the docs are
+      near-identical, so this is ordinary near-dup dedup — the mutual
+      pairs are clustered with connected_components (chains resolve
+      correctly, unlike a per-pair tie-break) and the min-id
+      representative of each cluster survives.
+
+    ``exact=True`` routes pair discovery through containment_pairs (the
+    all-pairs escape hatch, for oracles and bounded slices); the default
+    is the LSH-pruned path. Shuffle story: the pair machinery's own, plus
+    two pair-keyed set ops over the (small) pair set, the O(log n)
+    component rounds over only the mutual pairs, and one final anti-join
+    whose right side is O(duplicated docs), not corpus-sized —
+    broadcast-able in every realistic corpus.
+    """
+    if exact:
+        pairs = containment_pairs(docs, k, threshold, text_col, id_col)
+    else:
+        pairs = containment_near_dupes(
+            docs, k, threshold, n_hashes, n_bands, seed, text_col, id_col
+        )
+    fwd = pairs.select("contained_id", "container_id")
+    rev = fwd.select(
+        F.col("container_id").alias("contained_id"),
+        F.col("contained_id").alias("container_id"),
+    )
+    mutual = fwd.intersect(rev)
+    strict_drop = (
+        fwd.subtract(mutual).select(F.col("contained_id").alias(id_col)).distinct()
+    )
+    comp = connected_components(
+        mutual.filter(F.col("contained_id") < F.col("container_id")).select(
+            F.col("contained_id").alias("id_a"),
+            F.col("container_id").alias("id_b"),
+        )
+    )
+    mutual_drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    drops = strict_drop.unionByName(mutual_drop).distinct()
+    return docs.join(drops, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (pure JVM: remix with seeded xxhash64, 64-way min aggregate)
 # ---------------------------------------------------------------------------
