@@ -95,18 +95,43 @@ def get_domain_col(url: Column) -> Column:
     reference's forward walk that resets `domain` at each non-suffix
     label is equivalent).
     """
-    from webscraping_spark.functions.urlnorm import _DOMAIN_SUFFIXES
+    from webscraping_spark.functions.urlnorm import _DOMAIN_SUFFIXES, trie_regex
 
     ip = F.regexp_extract(url, r"^.*://(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})", 1)
+    # host = everything after the LAST '://' up to the first '/' — byte
+    # scans (substring_index), replacing the former greedy-regex
+    # regexp_replace('^.*://') + split + element_at, which backtracked
+    # per row. substring_index(url,'://',-1) returns the whole string
+    # when '://' is absent, exactly like the no-match regexp_replace.
     host = F.lower(
-        F.element_at(F.split(F.regexp_replace(url, "^.*://", ""), "/"), 1)
+        F.substring_index(F.substring_index(url, "://", -1), "/", 1)
     )
+    # Membership tests compile the suffix set as a TRIE regex, not a flat
+    # 280-way alternation: Java's Pattern tries alternation branches
+    # sequentially (~280 probes per label), the trie walks one path in
+    # O(label length). Measured r6: domain extraction was ~11.5 s of the
+    # 30.6 s fused 16M-row pipeline with the flat pattern.
+    suf = trie_regex(_DOMAIN_SUFFIXES)
+    # Fast path — ONE regex pass, zero array allocations. The registrable
+    # domain is the tail of the host that starts at the LAST non-suffix
+    # label: equivalently, the leftmost label-boundary tail whose first
+    # label is NOT a suffix and whose remaining labels are ALL suffixes.
+    # regexp_extract's leftmost-match search finds exactly that tail; no
+    # match (all labels are suffixes, or empty host) falls back to the
+    # whole host — the same fallback as the label walk's start=1.
+    # Equivalence to the walk holds for every host with non-empty labels;
+    # hosts with EMPTY labels (leading/trailing/doubled dots — '[^.]+'
+    # cannot match an empty label) are routed to the exact label-walk
+    # below. Parity is property-tested against get_domain_udf.
+    tail_pat = rf"(?:^|\.)((?!(?:{suf})(?:\.|$))[^.]+(?:\.(?:{suf}))*)$"
+    fast = F.regexp_extract(host, tail_pat, 1)
+    irregular = (
+        host.startswith(".") | host.endswith(".") | host.contains("..")
+    )
+    # Exact label walk (the original formulation, trie-compiled) — only
+    # evaluated for irregular hosts.
     labels = F.split(host, "\\.")
-    # suffix-set membership as ONE compiled regex alternation: an
-    # F.array(...280 literals...) inside the lambda re-allocates the array
-    # per row per label (GC-bound, anti-scales with cores — measured 4x
-    # slowdown at local[32]); the regex costs no allocation and scales.
-    suffix_pattern = "^(%s)$" % "|".join(sorted(_DOMAIN_SUFFIXES))
+    suffix_pattern = f"^(?:{suf})$"
     idxs = F.sequence(F.lit(1), F.size(labels))
     non_suffix = F.filter(
         idxs, lambda i: ~F.element_at(labels, i).rlike(suffix_pattern)
@@ -116,8 +141,11 @@ def get_domain_col(url: Column) -> Column:
     # arrays; NULL falls back to start=1 = keep the whole host, which is
     # what the kernel's forward walk returns for that case
     start = F.coalesce(F.try_element_at(non_suffix, F.lit(-1)), F.lit(1))
-    domain = F.array_join(
+    walk = F.array_join(
         F.slice(labels, start, F.size(labels) - start + 1), "."
+    )
+    domain = F.when(irregular, walk).otherwise(
+        F.when(fast == "", host).otherwise(fast)
     )
     return F.when(ip != "", ip).otherwise(domain)
 

@@ -60,6 +60,40 @@ _DOMAIN_SUFFIXES = frozenset(
     "xn ye yt za zm zw".split()
 )
 
+def trie_regex(words) -> str:
+    """Serialize a word set as a trie-shaped regex fragment (no anchors,
+    no capturing groups): matches exactly the same strings as the flat
+    alternation ``(w1|w2|...)`` but in O(length) matcher steps instead of
+    O(|words|) alternation attempts — Java's Pattern tries alternation
+    branches sequentially, so the flat form costs ~280 branch probes per
+    label on the 280-entry suffix set (measured: the politeness-key
+    domain extraction was the single largest component of the fused
+    bench pipeline, ~11.5 s of 30.6 s at 16M rows; see
+    OPTIMIZATION_r06.md)."""
+    trie: dict = {}
+    for w in sorted(words):
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}
+
+    def ser(node: dict) -> str:
+        alts = []
+        opt = False
+        for ch in sorted(node):
+            if ch == "":
+                opt = True
+                continue
+            alts.append(re.escape(ch) + ser(node[ch]))
+        if not alts:
+            return ""
+        if len(alts) == 1 and not opt:
+            return alts[0]
+        return "(?:" + "|".join(alts) + ")" + ("?" if opt else "")
+
+    return ser(trie)
+
+
 # windows-1252-smuggled codepoints the reference maps to ASCII lookalikes
 # (common.py:285-309; the byte pairs there are the utf-8 encodings of these
 # codepoints — we apply the same mapping at the codepoint level).
