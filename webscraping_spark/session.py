@@ -97,7 +97,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large Arrow batches: the Python<->JVM loopback round trip is
         # syscall-bound at high core counts (measured: 5k-row batches are
-        # 2.3x slower than 100k at local[32]); ~20 MB/batch/worker is cheap
+        # 2.3x slower than 100k at local[32]; r6 re-checked 400k with an
+        # interleaved same-session A/B at 16M rows — statistically flat,
+        # so 100k stays)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         # local-bench tables are 100 MB-class: the 128 MB default packs a
         # whole table into 1-2 scan splits and serializes every downstream
