@@ -108,6 +108,55 @@ def test_registry_hygiene():
         assert not unknown, f"{name}: oracle references non-driver tables {unknown}"
 
 
+# The six oracles whose DuckDB result types are not plain int64/varchar/
+# double: five HUGEINT (sum() over BIGINT promotes) + one DECIMAL(21,1).
+# The oracle text is FROZEN (round-6 rule), so the Spark side must render
+# these columns the way the driver's canonicalization renders the DuckDB
+# side: through float64 (pandas has no int128/decimal128 passthrough).
+# This pins the round-6 `_hugeint_twin_doubles` alignment and fails if a
+# future edit reintroduces an int64 Spark twin for a >64-bit oracle
+# column, or a new oracle grows one without its Spark cast.
+WIDE_NUMERIC_ORACLES = {
+    "sessionize": ["session_seq"],
+    "windowed_counts": ["sum_value_micro"],
+    "politeness_audit": ["n_violations"],
+    "link_graph_stats": ["n_internal", "n_external", "internal_pct"],
+    "crawl_churn": ["n_added", "n_removed", "n_changed", "n_same", "churn_pct"],
+    "politeness_plan_window": ["sched_offset"],
+}
+
+
+def test_wide_numeric_oracle_rendering_alignment(spark, sf_dir, ddb):
+    """Spark dtype must equal the ORACLE's pandas-rendered dtype for every
+    oracle column DuckDB types beyond int64 — and the set of such columns
+    must not grow without being added here (VERDICT r5 Wrong #1/#2, done
+    under the frozen-oracle constraint)."""
+    found: dict[str, list[str]] = {}
+    for name, sql in entrymod.oracle_sql().items():
+        res = ddb.sql(sql)
+        wide = [
+            c
+            for c, t in zip(res.columns, [str(t) for t in res.types])
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+        ]
+        if wide:
+            found[name] = wide
+    assert found == WIDE_NUMERIC_ORACLES, (
+        f"wide-numeric oracle columns changed: {found}"
+    )
+    for name, cols in found.items():
+        sdf = entrymod.queries()[name](spark, sf_dir)
+        ddtypes = dict(ddb.sql(entrymod.oracle_sql()[name]).df().dtypes.items())
+        for c in cols:
+            spark_t = dict(sdf.dtypes)[c]
+            assert spark_t == "double", (
+                f"{name}.{c}: Spark dtype {spark_t!r} will render int64 while "
+                f"the oracle's {ddtypes[c]} renders float64 — cast to double "
+                f"(see _hugeint_twin_doubles)"
+            )
+            assert str(ddtypes[c]) == "float64", (name, c, ddtypes[c])
+
+
 def test_registry_insertion_order_is_verification_schedule():
     """The driver checks the FIRST ~50 registry entries; the round-5
     rotation must keep the round-4 hash-red trio in the window."""
