@@ -36,6 +36,10 @@ from pyspark.sql.window import Window
 
 DOMAIN_STATE_SCHEMA = "domain string, proxy string, next_allowed_offset double"
 
+# Width of the politeness window stage in sort waves per core (see the
+# comment at the use site in plan_schedule for the measured rationale).
+SORT_WAVES = 8
+
 
 def jitter_col(delay, variance: float, seed: int) -> "F.Column":
     """Seeded per-URL jittered delay: delay * (1 + variance*(u - 0.5)).
@@ -172,22 +176,30 @@ def plan_schedule(
     if bucket_is_const:
         b = b.withColumn("_bucket", F.lit(0))
 
-    # 4x cores, not cores: with exactly one task per core any group-size
-    # imbalance extends the stage by a full straggler (measured 1.4x
-    # task-time inflation at local[16] with cores tasks); 4 waves of
-    # smaller sorts balance out and cost nothing extra
-    mult = 4
+    # Multiple waves, not one task per core: with exactly cores tasks any
+    # group-size imbalance extends the stage by a full straggler
+    # (measured 1.4x task-time inflation at local[16]). Width re-measured
+    # r6 with three interleaved same-session A/B series on the fused
+    # 16M-row pipeline: 4 waves (128 partitions at local[32]) was the
+    # WORST of {2,4,8} in every series — 128 partitions stays under the
+    # 200-partition bypass-merge threshold, so every politeness map task
+    # holds 128 x 1 MB shuffle-file buffers (4 GB of buffer churn across
+    # 32 tasks); 8 waves crosses the threshold onto the sort-based
+    # writer (one buffer per task) and also balances best (fused minima
+    # 17.9 s vs 19.1 s at 2 waves vs 24.8 s at 4). Module-level so tests
+    # and probes can pin a width; see OPTIMIZATION_r06.md.
+    mult = SORT_WAVES
     try:
         # Small-heap survival: under spark-submit's default 1g driver heap
-        # (local mode: executors share it), 4x-cores window tasks each sort
+        # (local mode: executors share it), wide window tasks each sort
         # ~100k+ rows, spill under the ~18 MB/task execution-memory floor,
         # and then OOM OPENING the spills — UnsafeSorterSpillReader's read
         # buffer is hard-floored at 1 MB per spill file x 32 concurrent
         # tasks (observed: heap-space OOM in getSortedIterator under the
-        # politeness WindowExec at 16M rows x local[32] x 1g). 4x narrower
-        # tasks sort in memory and never open a spill reader. Wide-heap
-        # runs keep the 4x width: more waves would only add scheduling
-        # overhead to every politeness plan.
+        # politeness WindowExec at 16M rows x local[32] x 1g). 16x
+        # narrower tasks sort in memory and never open a spill reader.
+        # Wide-heap runs keep SORT_WAVES: more waves would only add
+        # scheduling overhead to every politeness plan.
         heap = int(
             batch.sparkSession._jvm.java.lang.Runtime.getRuntime().maxMemory()
         )

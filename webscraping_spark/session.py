@@ -139,19 +139,29 @@ def get_spark(
         builder = builder.config("spark.shuffle.compress", "false")
         # The 1 MB buffer is ALSO conditioned on the heap it must fit in:
         # the bypass-merge writer opens one buffered writer PER REDUCE
-        # PARTITION per running task, all live at once — and the widest
-        # shuffle in the engine is the politeness window repartition
-        # (plan_schedule: 4x cores normally, 16x cores on a small heap —
-        # mirror that width here; the two heap rules must agree or the
-        # narrower windows OOM on their own file buffers). Keep the big
-        # buffer only when cores x widest-shuffle x 1 MB fits in ~1/4 of
-        # the real heap (shuffle.file.buffer is a static core conf: it
-        # cannot be corrected after the context starts). Under
+        # PARTITION per running task, all live at once — but ONLY for
+        # shuffles at or below spark.shuffle.sort.bypassMergeThreshold
+        # (200) partitions; wider shuffles use the sort-based writer with
+        # one buffer per task. The widest shuffle in the engine is the
+        # politeness window repartition (plan_schedule: SORT_WAVES x
+        # cores normally, 16x cores on a small heap — mirror those
+        # widths here; the heap rules must agree or the narrower windows
+        # OOM on their own file buffers), CAPPED at the bypass threshold
+        # because above it no per-partition buffers exist. Keep the big
+        # buffer only when cores x widest-bypass-shuffle x 1 MB fits in
+        # ~1/4 of the real heap (shuffle.file.buffer is a static core
+        # conf: it cannot be corrected after the context starts). Under
         # spark-submit the JVM is already up with --driver-memory applied
         # (default 1g) — the builder's 24g is a no-op there.
+        from webscraping_spark.operators.politeness import SORT_WAVES
+
         heap = _driver_heap_hint()
-        width_mult = 16 if heap < (2 << 30) else 4
-        worst_parts = max(cores * width_mult, cores * 2, 8)
+        width_mult = 16 if heap < (2 << 30) else SORT_WAVES
+        bypass_threshold = 200  # spark.shuffle.sort.bypassMergeThreshold default
+        candidates = [
+            w for w in (cores * width_mult, cores * 2, 8) if w <= bypass_threshold
+        ]
+        worst_parts = max(candidates) if candidates else 0
         if cores * worst_parts * (1 << 20) <= heap // 4:
             builder = builder.config("spark.shuffle.file.buffer", "1m")
     # Tiny-heap survival (spark-submit default --driver-memory 1g; local
